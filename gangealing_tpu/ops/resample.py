@@ -1,0 +1,161 @@
+"""Fused up/FIR/down resampling and activation primitives (TPU-native).
+
+These are the JAX/XLA equivalents of the reference's CUDA ops:
+  * ``upfirdn2d``  — capability reference models/stylegan2/op/upfirdn2d.py:145
+    (CUDA kernel op/upfirdn2d_kernel.cu). Implemented here as a single
+    ``lax.conv_general_dilated`` with lhs dilation (zero-insertion upsample),
+    asymmetric padding and window strides (downsample) — XLA lowers this onto
+    the MXU/VPU directly and differentiates it with the exact transpose-conv
+    rule the reference hand-rolls via its "g_pad" trick.
+  * ``fused_leaky_relu`` — capability reference op/fused_act.py:86
+    (CUDA kernel op/fused_bias_act_kernel.cu). bias-add + leaky-ReLU + scale
+    is a single fused elementwise HLO under jit; no custom kernel needed on
+    TPU (XLA fuses it into the producing conv's epilogue).
+  * ``bilinear_downsample`` — capability reference
+    models/spatial_transformers/antialiased_sampling.py:241 (separable tent
+    filter with reflection padding).
+  * ``interpolate_bilinear`` — torch.nn.functional.interpolate(mode='bilinear',
+    align_corners=False, antialias=False) semantics, used for flow-field
+    resizing (warping_heads.py:249-251). Separable weighted gathers.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                 ("NCHW", "OIHW", "NCHW"))
+
+
+def make_kernel(k):
+    """1-D or 2-D FIR kernel, normalized to sum 1 (reference networks.py:17)."""
+    k = jnp.asarray(k, dtype=jnp.float32)
+    if k.ndim == 1:
+        k = k[None, :] * k[:, None]
+    return k / jnp.sum(k)
+
+
+def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
+    """Upsample (zero-insert), FIR filter, downsample — in one fused conv.
+
+    x: (N, C, H, W); kernel: (kh, kw). ``pad`` is (pad0, pad1) applied to both
+    spatial dims. Output H' = (H*up + pad0 + pad1 - kh)//down + 1.
+    """
+    return upfirdn2d_general(x, kernel, up, up, down, down,
+                             pad[0], pad[1], pad[0], pad[1])
+
+
+def upfirdn2d_general(x, kernel, up_x, up_y, down_x, down_y,
+                      pad_x0, pad_x1, pad_y0, pad_y1):
+    N, C, H, W = x.shape
+    kh, kw = kernel.shape
+    # Correlate with the flipped kernel == true convolution with the kernel,
+    # matching the reference semantics (upfirdn2d.py:186).
+    k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    k = jnp.broadcast_to(k[None, None], (C, 1, kh, kw))
+    # lhs_dilation zero-inserts BETWEEN samples; the reference also appends
+    # (up - 1) trailing zeros, so fold those into the high-side padding.
+    out = lax.conv_general_dilated(
+        x, k,
+        window_strides=(down_y, down_x),
+        padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
+        lhs_dilation=(up_y, up_x),
+        dimension_numbers=_DN,
+        feature_group_count=C,
+    )
+    return out
+
+
+def upsample2x(x, kernel, factor=2):
+    """Blur-based 2x upsample (reference networks.py:28-46)."""
+    kernel = make_kernel(kernel) * (factor ** 2)
+    p = kernel.shape[0] - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=factor, down=1, pad=(pad0, pad1))
+
+
+def downsample2x(x, kernel, factor=2):
+    """Blur-based 2x downsample (reference networks.py:49-67)."""
+    kernel = make_kernel(kernel)
+    p = kernel.shape[0] - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
+
+
+def blur(x, kernel, pad, upsample_factor=1):
+    """FIR blur (reference networks.py:70-86)."""
+    kernel = make_kernel(kernel)
+    if upsample_factor > 1:
+        kernel = kernel * (upsample_factor ** 2)
+    return upfirdn2d(x, kernel, pad=pad)
+
+
+def fused_leaky_relu(x, bias=None, negative_slope=0.2, scale=2 ** 0.5):
+    """bias-add (broadcast at channel dim 1) + leaky ReLU + scale."""
+    if bias is not None:
+        shape = [1] * x.ndim
+        shape[1] = bias.shape[0]
+        x = x + bias.reshape(shape).astype(x.dtype)
+    return jnp.where(x >= 0, x, x * negative_slope) * scale
+
+
+def _tent_kernel(stride):
+    import numpy as np
+    k = np.arange(1, 2 * stride + 1, 2, dtype=np.float32)
+    k = np.concatenate([k, k[::-1]])
+    return jnp.asarray(k / k.sum())
+
+
+def bilinear_downsample(x, stride):
+    """Anti-aliased integer-stride downsample with a separable tent kernel.
+
+    Matches reference BilinearDownsample (antialiased_sampling.py:241-256):
+    reflection-pad stride//2, then horizontal and vertical depthwise convs.
+    """
+    if stride == 1:
+        return x
+    N, C, H, W = x.shape
+    k = _tent_kernel(stride).astype(x.dtype)
+    pad = stride // 2
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    kh = jnp.broadcast_to(k[None, None, None, :], (C, 1, 1, 2 * stride))
+    kv = jnp.broadcast_to(k[None, None, :, None], (C, 1, 2 * stride, 1))
+    x = lax.conv_general_dilated(x, kh, window_strides=(1, stride),
+                                 padding="VALID", dimension_numbers=_DN,
+                                 feature_group_count=C)
+    x = lax.conv_general_dilated(x, kv, window_strides=(stride, 1),
+                                 padding="VALID", dimension_numbers=_DN,
+                                 feature_group_count=C)
+    return x
+
+
+def _resize_axis_weights(in_size, out_size, dtype):
+    """Per-output-pixel source indices and lerp weights (half-pixel centers)."""
+    scale = in_size / out_size
+    src = (jnp.arange(out_size, dtype=dtype) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, in_size - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0.astype(dtype)
+    return i0, i1, 1.0 - w1, w1
+
+
+def interpolate_bilinear(x, out_h, out_w):
+    """Bilinear resize of (..., H, W) arrays, torch interpolate semantics
+    (align_corners=False, antialias=False). Separable gathers along H then W.
+    """
+    *lead, H, W = x.shape
+    dtype = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(dtype)
+    if H != out_h:
+        i0, i1, w0, w1 = _resize_axis_weights(H, out_h, dtype)
+        xf = (jnp.take(xf, i0, axis=-2) * w0[..., :, None]
+              + jnp.take(xf, i1, axis=-2) * w1[..., :, None])
+    if W != out_w:
+        i0, i1, w0, w1 = _resize_axis_weights(W, out_w, dtype)
+        xf = jnp.take(xf, i0, axis=-1) * w0 + jnp.take(xf, i1, axis=-1) * w1
+    return xf.astype(x.dtype)
