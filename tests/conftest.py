@@ -6,7 +6,9 @@ This must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU plugin;
+# golden-parity tests need deterministic f32 and 8 virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep matmuls at full fp32 precision on CPU for golden-parity tests.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+# The container's sitecustomize imports jax and registers the TPU plugin
+# before conftest runs, so env vars alone are not enough — override the
+# platform through the config API as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
