@@ -141,13 +141,26 @@ def _torch_mipmap_warp(x, grid, max_num_levels=3.5, padding_mode="border"):
     k1 = torch.tensor([1.0, 3.0, 3.0, 1.0])
     k = torch.outer(k1, k1)
     k = (k / k.sum()).reshape(1, 1, 4, 4).repeat(C, 1, 1, 1)
-    stack = [x]
-    cur = x
+    # Non-power-of-2 inputs are reflect-padded up to the next power of 2
+    # before building the stack, then cropped back.
+    log_size = math.log2(x.shape[-1])
+    pad_needed = not float(log_size).is_integer()
+    xs = x
+    if pad_needed:
+        target = int(2 ** math.ceil(log_size))
+        total = target - x.shape[-1]
+        lp = total // 2
+        rp = total - lp
+        xs = F.pad(x, [lp, rp, lp, rp], mode="reflect")
+    stack = [xs]
+    cur = xs
     for i in range(1, num_levels):
         cur = F.conv2d(F.pad(cur, [1, 1, 1, 1], mode="reflect"), k, stride=2, groups=C)
         stack.append(F.interpolate(cur, scale_factor=2.0 ** i, mode="bilinear",
                                    align_corners=False))
     stack = torch.stack(stack, dim=2)  # (N, C, D, H, W)
+    if pad_needed:
+        stack = stack[:, :, :, lp:-rp, lp:-rp]
     warped = F.grid_sample(stack.reshape(N, C * num_levels, H, W), grid,
                            padding_mode=padding_mode, align_corners=False)
     Ho, Wo = grid.shape[1], grid.shape[2]
