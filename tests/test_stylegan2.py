@@ -1,0 +1,168 @@
+"""Golden + behavioral tests for the StyleGAN2 generator stack.
+
+The modulated-conv golden is the *mathematical spec* (per-sample modulated
+weights + grouped conv) expressed with public torch ops; our TPU formulation
+(input-scale conv output-scale) must match it exactly.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from gangealing_tpu.models.layers import (
+    equal_linear, equal_linear_init, equal_conv2d, modulated_conv2d,
+    conv_layer, conv_layer_init, res_block, res_block_init, add_subtree,
+    conv_transpose2d)
+from gangealing_tpu.models.stylegan2 import (
+    GeneratorConfig, generator_init, generator_apply, mapping, make_noise)
+
+
+def _torch_modulated_spec(x, w, s, demodulate, upsample):
+    """Spec: per-sample weight = scale * W * style; optional demod; grouped
+    conv (one group per sample). Blur omitted (tested separately)."""
+    N, I, H, W_ = x.shape
+    _, O, _, kh, kw = w.shape
+    scale = 1.0 / math.sqrt(I * kh * kw)
+    weight = scale * w * s.view(N, 1, I, 1, 1)  # (N, O, I, kh, kw)
+    if demodulate:
+        demod = torch.rsqrt(weight.pow(2).sum([2, 3, 4]) + 1e-8)
+        weight = weight * demod.view(N, O, 1, 1, 1)
+    if upsample:
+        x = x.reshape(1, N * I, H, W_)
+        weight = weight.transpose(1, 2).reshape(N * I, O, kh, kw)
+        out = F.conv_transpose2d(x, weight, padding=0, stride=2, groups=N)
+        return out.reshape(N, O, out.shape[-2], out.shape[-1])
+    x = x.reshape(1, N * I, H, W_)
+    weight = weight.reshape(N * O, I, kh, kw)
+    out = F.conv2d(x, weight, padding=kh // 2, groups=N)
+    return out.reshape(N, O, H, W_)
+
+
+@pytest.mark.parametrize("demodulate", [True, False])
+@pytest.mark.parametrize("upsample", [False, True])
+def test_modulated_conv2d(rng, demodulate, upsample):
+    N, I, O, H = 3, 8, 16, 12
+    style_dim = 32
+    x = rng.randn(N, I, H, H).astype(np.float32)
+    w = rng.randn(1, O, I, 3, 3).astype(np.float32)
+    style = rng.randn(N, style_dim).astype(np.float32)
+    mod_w = rng.randn(I, style_dim).astype(np.float32)
+    mod_b = rng.rand(I).astype(np.float32) + 0.5
+
+    params = {
+        "m.weight": jnp.asarray(w),
+        "m.modulation.weight": jnp.asarray(mod_w),
+        "m.modulation.bias": jnp.asarray(mod_b),
+    }
+    if upsample:
+        # isolate the conv from the blur: call the internal pieces
+        s = equal_linear(params, "m.modulation", jnp.asarray(style))
+        weight = (1.0 / math.sqrt(I * 9)) * jnp.asarray(w)[0]
+        if demodulate:
+            wsq = jnp.sum(weight ** 2, axis=(2, 3))
+            demod = jax.lax.rsqrt((s ** 2) @ wsq.T + 1e-8)
+        xs = jnp.asarray(x) * s[:, :, None, None]
+        out = conv_transpose2d(xs, weight.transpose(1, 0, 2, 3))
+        if demodulate:
+            out = out * demod[:, :, None, None]
+        ours = np.asarray(out)
+    else:
+        ours = np.asarray(modulated_conv2d(params, "m", jnp.asarray(x),
+                                           jnp.asarray(style),
+                                           demodulate=demodulate))
+    # style after EqualLinear with bias_init semantics
+    s_t = torch.from_numpy(style) @ (torch.from_numpy(mod_w)
+                                     * (1.0 / math.sqrt(style_dim))).T \
+        + torch.from_numpy(mod_b)
+    theirs = _torch_modulated_spec(torch.from_numpy(x), torch.from_numpy(w),
+                                   s_t, demodulate, upsample)
+    np.testing.assert_allclose(ours, theirs.numpy(), atol=2e-4, rtol=2e-4)
+
+
+def test_equal_linear_matches_torch(rng):
+    x = rng.randn(4, 16).astype(np.float32)
+    w = rng.randn(8, 16).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    lr_mul = 0.01
+    params = {"l.weight": jnp.asarray(w), "l.bias": jnp.asarray(b)}
+    ours = equal_linear(params, "l", jnp.asarray(x), lr_mul=lr_mul)
+    scale = (1.0 / math.sqrt(16)) * lr_mul
+    theirs = torch.from_numpy(x) @ (torch.from_numpy(w) * scale).T \
+        + torch.from_numpy(b) * lr_mul
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_conv_layer_and_resblock_shapes(rng):
+    key = jax.random.PRNGKey(0)
+    params = {}
+    add_subtree(params, "cl", conv_layer_init(key, 3, 16, 1))
+    add_subtree(params, "rb", res_block_init(key, 16, 32))
+    x = jnp.asarray(rng.randn(2, 3, 32, 32).astype(np.float32))
+    h = conv_layer(params, "cl", x, 1)
+    assert h.shape == (2, 16, 32, 32)
+    out = res_block(params, "rb", h)
+    assert out.shape == (2, 32, 16, 16)
+
+
+def test_generator_shapes_and_determinism():
+    cfg = GeneratorConfig(size=64, style_dim=64, n_mlp=2, channel_multiplier=1)
+    key = jax.random.PRNGKey(0)
+    params = generator_init(key, cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    noise = make_noise(jax.random.PRNGKey(2), cfg, 2)
+    img, lat = generator_apply(params, cfg, [z], noise=noise,
+                               return_latents=True)
+    assert img.shape == (2, 3, 64, 64)
+    assert lat.shape == (2, cfg.n_latent, 64)
+    img2, _ = generator_apply(params, cfg, [z], noise=noise)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=0)
+    # fixed-noise (buffer) path
+    img3, _ = generator_apply(params, cfg, [z], randomize_noise=False)
+    assert img3.shape == (2, 3, 64, 64)
+
+
+def test_generator_w_plus_input():
+    """The latent-learner path feeds a full (N, n_latent, 512) W+ tensor."""
+    cfg = GeneratorConfig(size=32, style_dim=32, n_mlp=2, channel_multiplier=1)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    wplus = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.n_latent, 32))
+    img, _ = generator_apply(params, cfg, [wplus], input_is_latent=True,
+                             key=jax.random.PRNGKey(3))
+    assert img.shape == (2, 3, 32, 32)
+
+
+def test_generator_truncation_and_mixing():
+    cfg = GeneratorConfig(size=32, style_dim=32, n_mlp=2, channel_multiplier=1)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    w_mean = mapping(params, cfg, jnp.zeros((1, 32)))
+    noise = make_noise(jax.random.PRNGKey(2), cfg, 2)
+    img_t, _ = generator_apply(params, cfg, [z], truncation=0.5,
+                               truncation_latent=w_mean, noise=noise)
+    img_f, _ = generator_apply(params, cfg, [z], noise=noise)
+    assert not np.allclose(np.asarray(img_t), np.asarray(img_f))
+    # explicit style mixing
+    z2 = jax.random.normal(jax.random.PRNGKey(4), (2, 32))
+    img_m, _ = generator_apply(params, cfg, [z, z2], inject_index=3,
+                               noise=noise)
+    assert img_m.shape == (2, 3, 32, 32)
+
+
+def test_generator_jit_compiles():
+    cfg = GeneratorConfig(size=32, style_dim=32, n_mlp=2, channel_multiplier=1)
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def fwd(p, z, key):
+        return generator_apply(p, cfg, [z], key=key)[0]
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    out = fwd(params, z, jax.random.PRNGKey(2))
+    assert out.shape == (2, 3, 32, 32)
