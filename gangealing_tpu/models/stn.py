@@ -43,6 +43,7 @@ class STNConfig:
     num_heads: int = 1
     flow_downsample: int = 8
     antialias: bool = True
+    max_channels: int = 512  # cap (tests use small values; checkpoints 512)
 
     @property
     def is_flow(self):
@@ -51,9 +52,10 @@ class STNConfig:
     @property
     def channels(self):
         cm = self.channel_multiplier
-        return {4: 512, 8: 512, 16: 512, 32: 512, 64: int(256 * cm),
+        full = {4: 512, 8: 512, 16: 512, 32: 512, 64: int(256 * cm),
                 128: int(128 * cm), 256: int(64 * cm), 512: int(32 * cm),
                 1024: int(16 * cm)}
+        return {k: min(v, self.max_channels) for k, v in full.items()}
 
     def encoder_plan(self):
         """(in_ch, out_ch, downsample) per ResBlock, plus stem/final dims."""
@@ -536,6 +538,7 @@ class ComposedSTNConfig:
     num_heads: int = 1
     flow_downsample: int = 8
     antialias: bool = True
+    max_channels: int = 512
 
     def stn_cfg(self, transform: str) -> STNConfig:
         return STNConfig(transform=transform, flow_size=self.flow_size,
@@ -543,7 +546,8 @@ class ComposedSTNConfig:
                          channel_multiplier=self.channel_multiplier,
                          num_heads=self.num_heads,
                          flow_downsample=self.flow_downsample,
-                         antialias=self.antialias)
+                         antialias=self.antialias,
+                         max_channels=self.max_channels)
 
     @property
     def stn_cfgs(self):

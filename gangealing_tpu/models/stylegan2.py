@@ -30,6 +30,7 @@ class GeneratorConfig:
     n_mlp: int = 8
     channel_multiplier: int = 2
     num_fp16_res: int = 0  # >0 marks trailing convs with the normalize path
+    max_channels: int = 512  # cap (tests use small values; checkpoints 512)
 
     @property
     def log_size(self) -> int:
@@ -46,8 +47,9 @@ class GeneratorConfig:
     @property
     def channels(self):
         cm = self.channel_multiplier
-        return {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * cm, 128: 128 * cm,
+        full = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256 * cm, 128: 128 * cm,
                 256: 64 * cm, 512: 32 * cm, 1024: 16 * cm}
+        return {k: min(v, self.max_channels) for k, v in full.items()}
 
 
 def generator_init(key, cfg: GeneratorConfig) -> Params:

@@ -1,0 +1,79 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for the
+reference's NCCL data-parallel runtime.
+
+Capability reference: utils/distributed.py:6-162. The mapping:
+  setup_distributed()    -> make_mesh() (1-D 'data' axis over all chips)
+  DDP gradient all-reduce -> automatic: params replicated, batch sharded,
+                             XLA inserts psums over ICI in the jitted step
+  all_gather / all_gatherv / all_reduce / rank0_to_all / reduce_loss_dict
+                         -> process_allgather or plain jnp ops inside jit
+                            (single-controller: every "rank" sees the result)
+  DistributedSampler     -> shard_batch: lay a host batch out over the mesh
+  primary()              -> jax.process_index() == 0
+
+On a single controller (one host, N chips) collectives never need explicit
+calls: jit + shardings compile to ICI collectives. The helpers below cover
+the multi-host (DCN) cases and the host-side gathers used by eval apps.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data",
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over all (or the first n) local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1, axis_name: str = "data"):
+    """Shard the leading axis over the mesh; replicate the rest."""
+    spec = [axis_name] + [None] * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Place a (global-batch-leading) pytree onto the mesh, leading axis
+    sharded. Equivalent of DistributedSampler's rank striding — but layout
+    is contiguous blocks per device."""
+    def put(x):
+        return jax.device_put(
+            x, data_sharding(mesh, np.ndim(x), axis_name))
+    return jax.tree.map(put, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def all_gather_hosts(x):
+    """Gather a per-host array across processes (multi-host DCN path);
+    identity on a single controller. Replaces utils/distributed.py:87-122."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(x)
+
+
+def pad_to_multiple(x, multiple, axis=0):
+    """Pad the leading axis so it divides the mesh (the reference's
+    all_gatherv padding idiom, distributed.py:103-122). Returns (padded, n)."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (0, rem)
+    return np.pad(np.asarray(x), pad_width), n

@@ -1,0 +1,137 @@
+"""Training state and the jitted GANgealing train step.
+
+Capability reference: train.py:31-171 (the per-iteration logic: loss ->
+backward -> Adam steps for STN and ll -> EMA accumulate). The LR schedule is
+computed host-side per iteration (annealing.py here) and passed in as a
+traced scalar so one compiled step serves the whole run.
+
+TPU design: params are replicated over a 1-D 'data' mesh; the latent batch z
+is sharded on its leading axis. XLA turns the gradient reduction into ICI
+psums automatically — this *is* DDP, minus the wrapper.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gangealing_tpu.models.stylegan2 import GeneratorConfig
+from gangealing_tpu.models.stn import ComposedSTNConfig
+from gangealing_tpu.models.latent_learner import LatentLearnerConfig
+from gangealing_tpu.train.losses import (
+    gangealing_loss, gangealing_cluster_loss)
+from gangealing_tpu.ops.flow import total_variation_loss, flow_identity_loss
+
+EMA_ACCUM = 0.5 ** (32 / (10 * 1000))  # train.py:77
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    g: GeneratorConfig
+    t: ComposedSTNConfig
+    ll: LatentLearnerConfig
+    batch: int = 40                  # global batch
+    stn_lr: float = 1e-3
+    ll_lr: float = 1e-2
+    tv_weight: float = 1000.0
+    flow_identity_weight: float = 1.0
+    freeze_ll: bool = False
+    flips: bool = False
+    sample_from_full_res: bool = False
+    padding_mode: str = "border"
+    loss_fn: str = "vgg_ssl"
+    anneal_psi: int = 150000
+    anneal_fn: str = "cosine"
+    period: float = 37500.0
+    decay: float = 0.9
+    tm: int = 2
+    iter: int = 800000
+
+    @property
+    def clustering(self) -> bool:
+        return self.t.num_heads > 1
+
+
+def adam():
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_train_state(t_params, ll_params) -> Dict[str, Any]:
+    opt = adam()
+    return {
+        "t": t_params,
+        "ll": ll_params,
+        "t_ema": jax.tree.map(jnp.copy, t_params),
+        "t_opt": opt.init(t_params),
+        "ll_opt": opt.init(ll_params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def ema_update(ema, params, decay=EMA_ACCUM):
+    """accumulate() (models/__init__.py:19): ema = decay*ema + (1-decay)*p."""
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema,
+                        params)
+
+
+def make_train_step(cfg: TrainConfig, g_params, perceptual_params,
+                    perceptual_fn: Callable, donate=True):
+    """Build the jitted train step.
+
+    perceptual_fn(params, x, y) -> (N, 1, 1, 1).
+    Returns step(state, z, key, psi, lr_t, lr_ll) -> (state, metrics).
+    The generator and perceptual params are closed over (frozen) — XLA
+    keeps them device-resident constants.
+    """
+    opt = adam()
+
+    def loss_fn(t_params, ll_params, z, key, psi):
+        pfn = lambda x, y: perceptual_fn(perceptual_params, x, y)
+        if cfg.clustering or cfg.flips:
+            ploss, delta_flow = gangealing_cluster_loss(
+                g_params, cfg.g, t_params, cfg.t, ll_params, cfg.ll, pfn,
+                key, psi, z.shape[0], cfg.t.num_heads, cfg.flips,
+                freeze_ll=cfg.freeze_ll,
+                sample_from_full_res=cfg.sample_from_full_res,
+                padding_mode=cfg.padding_mode)
+        else:
+            ploss, delta_flow = gangealing_loss(
+                g_params, cfg.g, t_params, cfg.t, ll_params, cfg.ll, pfn,
+                key, psi, z.shape[0], freeze_ll=cfg.freeze_ll,
+                sample_from_full_res=cfg.sample_from_full_res,
+                padding_mode=cfg.padding_mode)
+        tv = total_variation_loss(delta_flow) if cfg.tv_weight > 0 \
+            else jnp.zeros(())
+        fid = flow_identity_loss(delta_flow) if cfg.flow_identity_weight > 0 \
+            else jnp.zeros(())
+        total = ploss + cfg.tv_weight * tv + cfg.flow_identity_weight * fid
+        return total, {"p": ploss, "tv": tv, "f": fid}
+
+    def step(state, z, key, psi, lr_t, lr_ll):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda tp, lp: loss_fn(tp, lp, z, key, psi), argnums=(0, 1),
+            has_aux=True)(state["t"], state["ll"])
+        g_t, g_ll = grads
+        u_t, t_opt = opt.update(g_t, state["t_opt"], state["t"])
+        new_t = jax.tree.map(lambda p, u: p - lr_t * u, state["t"], u_t)
+        if cfg.freeze_ll:
+            new_ll, ll_opt = state["ll"], state["ll_opt"]
+        else:
+            u_ll, ll_opt = opt.update(g_ll, state["ll_opt"], state["ll"])
+            new_ll = jax.tree.map(lambda p, u: p - lr_ll * u, state["ll"],
+                                  u_ll)
+        new_state = {
+            "t": new_t,
+            "ll": new_ll,
+            "t_ema": ema_update(state["t_ema"], new_t),
+            "t_opt": t_opt,
+            "ll_opt": ll_opt,
+            "step": state["step"] + 1,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

@@ -1,0 +1,152 @@
+"""Train-step mechanics: gradients flow, EMA updates, schedules match the
+reference formulas, and the step runs sharded over an 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gangealing_tpu.models.stylegan2 import GeneratorConfig, generator_init
+from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_init
+from gangealing_tpu.models.latent_learner import (
+    LatentLearnerConfig, latent_learner_init)
+from gangealing_tpu.train.state import (
+    TrainConfig, init_train_state, make_train_step, ema_update, EMA_ACCUM)
+from gangealing_tpu.train.annealing import (
+    psi_at_iter, lr_at_iter, decaying_cosine_warm_restarts, lr_cycle_iters)
+from gangealing_tpu.parallel import make_mesh, shard_batch, replicated_sharding
+
+
+G_CFG = GeneratorConfig(size=64, style_dim=32, n_mlp=2, channel_multiplier=1,
+                        max_channels=32)
+T_CFG = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=64,
+                          supersize=64, channel_multiplier=0.25,
+                          flow_downsample=4, max_channels=32)
+LL_CFG = LatentLearnerConfig(n_comps=2, inject_index=3,
+                             n_latent=G_CFG.n_latent, num_heads=1,
+                             style_dim=32)
+
+
+def _l2_perceptual(params, x, y):
+    return jnp.mean((x - y) ** 2, axis=(1, 2, 3), keepdims=True)
+
+
+def _setup(num_heads=1, flips=False):
+    t_cfg = ComposedSTNConfig(**{**T_CFG.__dict__, "num_heads": num_heads})
+    ll_cfg = LatentLearnerConfig(**{**LL_CFG.__dict__,
+                                    "num_heads": num_heads})
+    cfg = TrainConfig(g=G_CFG, t=t_cfg, ll=ll_cfg, batch=4, flips=flips,
+                      tv_weight=10.0, flow_identity_weight=1.0,
+                      anneal_psi=100, period=50)
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), t_cfg)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
+    state = init_train_state(t_params, ll_params)
+    step = make_train_step(cfg, g_params, None, _l2_perceptual, donate=False)
+    return cfg, state, step
+
+
+def test_train_step_updates_params():
+    cfg, state, step = _setup()
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32))
+    new_state, metrics = step(state, z, jax.random.PRNGKey(4),
+                              jnp.float32(0.9), jnp.float32(1e-3),
+                              jnp.float32(1e-2))
+    assert int(new_state["step"]) == 1
+    for k in metrics:
+        assert np.isfinite(float(metrics[k])), k
+    # STN head weights move
+    moved = 0
+    for k in state["t"]:
+        if not np.allclose(np.asarray(state["t"][k]),
+                           np.asarray(new_state["t"][k])):
+            moved += 1
+    assert moved > 0
+    # ll coefficients move (gradient flows through frozen G into ll)
+    assert not np.allclose(np.asarray(state["ll"]["coefficients"]),
+                           np.asarray(new_state["ll"]["coefficients"]))
+    # EMA moved toward params but is not equal to them
+    for k in state["t_ema"]:
+        e0 = np.asarray(state["t_ema"][k])
+        e1 = np.asarray(new_state["t_ema"][k])
+        p1 = np.asarray(new_state["t"][k])
+        expect = EMA_ACCUM * e0 + (1 - EMA_ACCUM) * p1
+        np.testing.assert_allclose(e1, expect, atol=1e-5)
+
+
+def test_train_step_freeze_ll():
+    cfg, state, step = _setup()
+    cfg2 = TrainConfig(**{**cfg.__dict__, "freeze_ll": True})
+    from gangealing_tpu.models.stylegan2 import generator_init
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    step2 = make_train_step(cfg2, g_params, None, _l2_perceptual,
+                            donate=False)
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32))
+    new_state, _ = step2(state, z, jax.random.PRNGKey(4), jnp.float32(0.5),
+                         jnp.float32(1e-3), jnp.float32(1e-2))
+    np.testing.assert_array_equal(np.asarray(state["ll"]["coefficients"]),
+                                  np.asarray(new_state["ll"]["coefficients"]))
+
+
+def test_cluster_train_step():
+    cfg, state, step = _setup(num_heads=2, flips=True)
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32))
+    new_state, metrics = step(state, z, jax.random.PRNGKey(4),
+                              jnp.float32(0.7), jnp.float32(1e-3),
+                              jnp.float32(1e-2))
+    assert np.isfinite(float(metrics["p"]))
+
+
+def test_train_step_sharded_8_devices():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    cfg, state, step = _setup()
+    z = jax.random.normal(jax.random.PRNGKey(3), (8, 32))
+    z = shard_batch(mesh, z)
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, replicated_sharding(mesh)), state)
+    new_state, metrics = step(state, z, jax.random.PRNGKey(4),
+                              jnp.float32(0.9), jnp.float32(1e-3),
+                              jnp.float32(1e-2))
+    assert np.isfinite(float(metrics["p"]))
+    # grads were averaged over the data axis; params stay replicated
+    assert new_state["t"]["stns.0.warp_head.linear.bias"].sharding.is_fully_replicated
+
+
+def test_psi_annealing_matches_reference_formula():
+    import math
+    n = 100
+    for i in [1, 25, 50, 99, 100, 101, 500]:
+        psi = psi_at_iter(i, n, "cosine")
+        if i > n:
+            assert psi == 0.0
+        else:
+            expect = 0.5 * (1 + math.cos(math.pi * i / n))
+            assert abs(psi - expect) < 1e-6
+    assert psi_at_iter(50, 100, "linear") == pytest.approx(0.5)
+
+
+def test_decaying_sgdr_schedule():
+    """Cycle n: length t_mult^n, peak decay^n; zero at cycle boundaries."""
+    base = 1.0
+    # epoch 0 -> full lr
+    assert decaying_cosine_warm_restarts(0.0, base) == pytest.approx(1.0)
+    # just before the first restart the lr approaches 0
+    assert decaying_cosine_warm_restarts(0.999, base) < 1e-4
+    # at epoch 1.0 a new cycle starts (length 2, peak 0.9)
+    assert decaying_cosine_warm_restarts(1.0, base) == pytest.approx(0.9)
+    # midpoint of second cycle: 0.9 * cos(pi/2) midpoint = 0.45
+    assert decaying_cosine_warm_restarts(2.0, base) == pytest.approx(0.45)
+    # third cycle starts at epoch 3 with peak 0.81
+    assert decaying_cosine_warm_restarts(3.0, base) == pytest.approx(0.81)
+
+
+def test_lr_at_iter_and_cycles():
+    lr0 = lr_at_iter(10, 1e-3, anneal_psi=100, period=50)
+    assert lr0 == pytest.approx(1e-3)
+    lr_after = lr_at_iter(150, 1e-3, anneal_psi=100, period=50)
+    assert 0 <= lr_after <= 1e-3
+    cycles = lr_cycle_iters(100, 50, 1000, 2)
+    assert cycles[0] == 99
+    assert all(b > a for a, b in zip(cycles, cycles[1:]))
