@@ -1,0 +1,55 @@
+"""Benchmark: congealing throughput of the flagship ComposedSTN on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config mirrors BASELINE.json config #1/#3: reference-default STN
+(flow_size=128, channel_multiplier=0.5), 256px inputs, forward congeal with
+flip inference disabled, batch 40 (the reference's global training batch).
+
+vs_baseline: the reference publishes no absolute throughput numbers. We use
+an estimated PyTorch V100 batch-congealing rate of 150 imgs/s at 256px
+(extrapolated from the reference's 8xGPU batch-40 training configuration and
+README.md:279-280 notes); the north-star is >10x this per chip
+(BASELINE.json).
+"""
+
+import json
+import time
+
+V100_BASELINE_IMGS_PER_SEC = 150.0
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+
+    fn, (params, _) = ge.entry()
+    jf = jax.jit(fn)
+    batch = 40
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(batch, 3, 256, 256).astype(np.float32))
+
+    # warmup / compile
+    out = jf(params, imgs)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        out = jf(params, imgs)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    imgs_per_sec = batch / dt
+    print(json.dumps({
+        "metric": "congeal_imgs_per_sec_per_chip_256px",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / V100_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

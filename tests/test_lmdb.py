@@ -1,0 +1,115 @@
+"""LMDB format roundtrip: our writer <-> native C++ reader <-> python reader,
+plus the dataset layer over it."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from gangealing_tpu.data.lmdb_io import LMDBReader, write_lmdb, _PyReader
+from gangealing_tpu.data.dataset import (
+    MultiResolutionDataset, DataLoader, img_dataloader)
+
+
+def _make_kv(n=300, rng=None):
+    rng = rng or np.random.RandomState(0)
+    items = {}
+    for i in range(n):
+        # mix of small and overflow-sized values
+        size = int(rng.choice([10, 100, 3000, 5000, 20000]))
+        items[f"key-{i:05d}".encode()] = bytes(
+            rng.randint(0, 256, size, dtype=np.uint8))
+    items[b"length"] = str(n).encode()
+    return items
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    items = _make_kv(rng=rng)
+    path = str(tmp_path / "env")
+    write_lmdb(path, items)
+    for reader in (LMDBReader(path), _PyReader(path)):
+        get = reader.get
+        for k, v in items.items():
+            got = get(k)
+            assert got == v, f"mismatch for {k!r}"
+        assert get(b"nonexistent") is None
+        assert get(b"key-99999") is None
+
+
+def test_native_reader_is_used(tmp_path):
+    items = {b"a": b"1", b"length": b"0"}
+    path = str(tmp_path / "env")
+    write_lmdb(path, items)
+    r = LMDBReader(path)
+    assert r._h is not None, "native reader failed to build/load"
+    assert r.entries == len(items)
+
+
+def test_large_values_multi_page(tmp_path, rng):
+    big = bytes(rng.randint(0, 256, 1_000_000, dtype=np.uint8))
+    path = str(tmp_path / "env")
+    write_lmdb(path, {b"big": big, b"small": b"x", b"length": b"1"})
+    r = LMDBReader(path)
+    assert r.get(b"big") == big
+    assert r.get(b"small") == b"x"
+
+
+def test_many_keys_multilevel_tree(tmp_path, rng):
+    """Enough keys to force >1 branch level."""
+    items = {f"k{i:08d}".encode(): f"v{i}".encode() for i in range(20000)}
+    items[b"length"] = b"0"
+    path = str(tmp_path / "env")
+    write_lmdb(path, items)
+    r = LMDBReader(path)
+    for i in [0, 1, 9999, 19998, 19999]:
+        assert r.get(f"k{i:08d}".encode()) == f"v{i}".encode()
+
+
+def _encode_png(arr):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture
+def image_lmdb(tmp_path, rng):
+    n, res = 12, 16
+    imgs = (rng.rand(n, res, res, 3) * 255).astype(np.uint8)
+    items = {b"length": str(n).encode()}
+    for i in range(n):
+        items[f"{res}-{str(i).zfill(5)}".encode()] = _encode_png(imgs[i])
+    path = str(tmp_path / "imgs")
+    write_lmdb(path, items)
+    return path, imgs, res
+
+
+def test_multiresolution_dataset(image_lmdb):
+    path, imgs, res = image_lmdb
+    ds = MultiResolutionDataset(path, resolution=res)
+    assert len(ds) == 12
+    x = ds[3]
+    assert x.shape == (3, res, res)
+    expect = imgs[3].astype(np.float32).transpose(2, 0, 1) / 255 * 2 - 1
+    np.testing.assert_allclose(x, expect, atol=1e-6)
+
+
+def test_dataloader_sharding(image_lmdb):
+    path, imgs, res = image_lmdb
+    ds = MultiResolutionDataset(path, resolution=res, return_indices=True)
+    seen = []
+    for shard in range(3):
+        loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                            num_shards=3, shard_index=shard)
+        for _, idx in loader:
+            seen.extend(idx.tolist())
+    assert sorted(seen) == list(range(12))
+
+
+def test_infinite_loader(image_lmdb):
+    path, imgs, res = image_lmdb
+    it = img_dataloader(path, resolution=res, batch_size=4, seed=0,
+                        infinite=True)
+    batches = [next(it) for _ in range(7)]  # crosses an epoch boundary
+    assert all(b.shape == (4, 3, res, res) for b in batches)
