@@ -1,0 +1,85 @@
+"""Flow-smoothness scores for dataset filtering.
+
+Capability reference: applications/flow_scores.py:17-70. Per-image score =
+negative TV smoothness of the predicted residual flow; low scores mark
+images the STN cannot align well. Scores are cached to
+<data>/flow_scores.pt (torch format, same as the reference).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_forward
+from gangealing_tpu.ops.flow import total_variation_loss
+from gangealing_tpu.apps.common import determine_flips
+from gangealing_tpu.data.dataset import (
+    MultiResolutionDataset, DataLoader, Subset)
+
+
+def make_score_fn(cfg: ComposedSTNConfig, iters=1, padding_mode="border",
+                  no_flip_inference=False):
+    @jax.jit
+    def score_fn(params, batch):
+        imgs, _, _, _ = determine_flips(params, cfg, batch,
+                                        no_flip_inference=no_flip_inference,
+                                        iters=iters,
+                                        padding_mode=padding_mode)
+        _, _, flows, _, _ = composed_stn_forward(params, cfg, imgs,
+                                                 iters=iters,
+                                                 padding_mode=padding_mode)
+        return -total_variation_loss(flows, reduce_batch=False)
+
+    return score_fn
+
+
+def compute_flow_scores(params, cfg: ComposedSTNConfig, data_path,
+                        real_size=256, batch=50, iters=1,
+                        padding_mode="border", no_flip_inference=False,
+                        save=True):
+    """Returns (N,) numpy scores; optionally caches to flow_scores.pt."""
+    dset = MultiResolutionDataset(data_path, resolution=real_size)
+    loader = DataLoader(dset, batch_size=batch, shuffle=False,
+                        drop_last=False)
+    score_fn = make_score_fn(cfg, iters=iters, padding_mode=padding_mode,
+                             no_flip_inference=no_flip_inference)
+    scores = []
+    last_bs = None
+    for b in loader:
+        # pad the tail batch to keep a single compiled executable
+        n = b.shape[0]
+        if n < batch:
+            b = np.concatenate([b, np.repeat(b[-1:], batch - n, 0)], 0)
+        s = np.asarray(score_fn(params, jnp.asarray(b)))[:n]
+        scores.append(s)
+    scores = np.concatenate(scores)[:len(dset)]
+    if save:
+        import torch
+        torch.save(torch.from_numpy(np.ascontiguousarray(scores)),
+                   os.path.join(data_path, "flow_scores.pt"))
+    return scores
+
+
+def get_flow_scores(params, cfg, data_path, **kwargs):
+    """Cached wrapper (applications/flow_scores.py:17-22)."""
+    cache = os.path.join(data_path, "flow_scores.pt")
+    if os.path.exists(cache):
+        import torch
+        return np.asarray(torch.load(cache, weights_only=False))
+    return compute_flow_scores(params, cfg, data_path, **kwargs)
+
+
+def get_high_score_indices(scores, fraction_retained):
+    q = 1.0 - fraction_retained
+    min_score = np.quantile(scores, q)
+    return np.where(scores > min_score)[0].tolist()
+
+
+def filter_dataset(dataset, scores, fraction_retained):
+    """Drop the lowest-scoring images (applications/flow_scores.py:57-70)."""
+    if isinstance(scores, str):
+        import torch
+        scores = np.asarray(torch.load(scores, weights_only=False))
+    return Subset(dataset, get_high_score_indices(scores, fraction_retained))

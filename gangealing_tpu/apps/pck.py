@@ -1,0 +1,174 @@
+"""PCK-Transfer evaluation (the framework's headline correctness metric).
+
+Capability reference: applications/pck.py:18-175 (run_pck_transfer,
+pck_transfer, bootstrap). Protocol:
+  * SPair-71K: fixed pairs, per-image alpha*bbox thresholds
+    (threshB*scaleB), one-way unless --transfer_both_ways.
+  * CUB: random pairs, alpha*max(H,W) threshold, bidirectional.
+  * match_flows 4-way flip matching unless --no_flip_inference.
+
+TPU design: the entire per-batch computation (4-way flip matching + two
+point-transfer passes + thresholding) is one jitted function; batches are
+padded to a static size so a single executable serves the whole run; the
+final reduction is a couple of scalars on host.
+"""
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gangealing_tpu.models.stn import (
+    ComposedSTNConfig, composed_match_flows, composed_transfer_points)
+from gangealing_tpu.data.dataset import pck_dataloader, PCKDataset, DataLoader
+
+
+def make_pck_batch_fn(cfg: ComposedSTNConfig, alphas: Sequence[float],
+                      iters: int = 1, padding_mode: str = "border",
+                      match_flows: bool = True, transfer_both_ways: bool = True,
+                      permutation=None, has_thresholds: bool = False):
+    """Build the jitted per-batch PCK evaluator.
+
+    Returns fn(params, imgsA, imgsB, kpsA, kpsB, visible, threshA, threshB,
+               valid_mask) -> (correct_per_alpha, kps_seen).
+    kps: (N, P, 2); visible: (N, P, 1); thresh*: (N,) (ignored when
+    has_thresholds=False); valid_mask: (N,) 0/1 padding mask.
+    """
+    alphas_arr = jnp.asarray(list(alphas), jnp.float32).reshape(1, -1)
+
+    @jax.jit
+    def batch_fn(params, imgsA, imgsB, kpsA, kpsB, visible, threshA, threshB,
+                 valid_mask):
+        if match_flows:
+            imgsA_m, imgsB_m, kpsA_m, kpsB_m, _ = composed_match_flows(
+                params, cfg, imgsA, imgsB, kpsA, kpsB,
+                permutation=permutation, iters=iters,
+                padding_mode=padding_mode)
+        else:
+            imgsA_m, imgsB_m, kpsA_m, kpsB_m = imgsA, imgsB, kpsA, kpsB
+        vm = (visible * valid_mask[:, None, None]).astype(jnp.float32)
+
+        def one_way(src_img, dst_img, src_kps, dst_kps, thresh):
+            est = composed_transfer_points(params, cfg, src_img, dst_img,
+                                           src_kps, iters=iters,
+                                           padding_mode=padding_mode)
+            err = jnp.linalg.norm(est - dst_kps, axis=-1)[..., None]  # (N,P,1)
+            thr = alphas_arr * thresh[:, None]  # (N, A)
+            correct = (err <= thr[:, None, :]).astype(jnp.float32)  # (N,P,A)
+            return jnp.sum(correct * vm, axis=(0, 1))  # (A,)
+
+        if has_thresholds:
+            tA, tB = threshA, threshB
+        else:
+            size = jnp.float32(max(imgsB.shape[-2], imgsB.shape[-1]))
+            tA = jnp.full((imgsA.shape[0],), size)
+            tB = jnp.full((imgsB.shape[0],), size)
+        correct = one_way(imgsA_m, imgsB_m, kpsA_m, kpsB_m, tB)
+        ways = 1
+        if transfer_both_ways:
+            correct = correct + one_way(imgsB_m, imgsA_m, kpsB_m, kpsA_m, tA)
+            ways = 2
+        kps_seen = jnp.sum(vm) * ways
+        return correct, kps_seen
+
+    return batch_fn
+
+
+def _pad_batch(arr, batch_size):
+    n = arr.shape[0]
+    if n == batch_size:
+        return arr
+    pad = [(0, batch_size - n)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(np.asarray(arr), pad, mode="edge")
+
+
+def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
+                 num_pairs: Optional[int] = None, iters=1,
+                 padding_mode="border", match_flows=True,
+                 transfer_both_ways=True, permutation=None,
+                 batch_size=None, progress=False):
+    """Run PCK-Transfer over ``loader`` (an iterator of dict batches).
+    Returns an (A,) numpy array of PCK per alpha (applications/pck.py:104)."""
+    batch_fn = None
+    correct = np.zeros(len(alphas), np.float64)
+    kps_seen = 0.0
+    pairs_seen = 0
+    it = iter(loader)
+    while num_pairs is None or pairs_seen < num_pairs:
+        try:
+            d = next(it)
+        except StopIteration:
+            break
+        n = d["imgsA"].shape[0]
+        if num_pairs is not None and pairs_seen + n > num_pairs:
+            take = num_pairs - pairs_seen
+            d = {k: v[:take] for k, v in d.items()}
+            n = take
+        has_th = "threshB" in d
+        if batch_size is None:
+            batch_size = d["imgsA"].shape[0]
+        if batch_fn is None:
+            batch_fn = make_pck_batch_fn(
+                cfg, alphas, iters=iters, padding_mode=padding_mode,
+                match_flows=match_flows,
+                transfer_both_ways=transfer_both_ways,
+                permutation=permutation, has_thresholds=has_th)
+        kpsA = np.asarray(d["kpsA"], np.float32)
+        kpsB = np.asarray(d["kpsB"], np.float32)
+        if kpsA.shape[-1] == 3:
+            visible = (kpsA[..., 2:3] * kpsB[..., 2:3])
+            kpsA, kpsB = kpsA[..., :2], kpsB[..., :2]
+        else:
+            visible = np.ones((*kpsA.shape[:2], 1), np.float32)
+        valid = np.zeros(batch_size, np.float32)
+        valid[:n] = 1.0
+        if has_th:
+            thA = np.asarray(d["scaleA"], np.float32) * np.asarray(
+                d["threshA"], np.float32)
+            thB = np.asarray(d["scaleB"], np.float32) * np.asarray(
+                d["threshB"], np.float32)
+        else:
+            thA = thB = np.zeros(n, np.float32)
+        args = [np.asarray(d["imgsA"], np.float32),
+                np.asarray(d["imgsB"], np.float32),
+                kpsA, kpsB, visible, thA, thB]
+        args = [_pad_batch(a, batch_size) for a in args]
+        c, k = batch_fn(params, *args, jnp.asarray(valid))
+        correct += np.asarray(c, np.float64)
+        kps_seen += float(k)
+        pairs_seen += n
+        if progress:
+            print(f"\rpck pairs: {pairs_seen}", end="", flush=True)
+    if progress:
+        print()
+    return correct / max(kps_seen, 1.0)
+
+
+def run_pck(ckpt_path, data_path, alphas=(0.1, 0.05, 0.01), real_size=256,
+            batch=50, iters=1, padding_mode="border", num_pairs=None,
+            transfer_both_ways=True, no_flip_inference=False, seed=0):
+    """End-to-end: load checkpoint, evaluate PCK on an LMDB PCK dataset."""
+    from gangealing_tpu.io import load_torch_checkpoint, stn_config_from_args
+
+    ckpt = load_torch_checkpoint(ckpt_path)
+    cfg = stn_config_from_args(ckpt.get("args", {}), supersize=real_size)
+    params = {k: jnp.asarray(v) for k, v in ckpt["t_ema"].items()}
+
+    dset = PCKDataset(data_path, resolution=real_size, seed=seed)
+    permutation = dset.mirror_permutation
+    if num_pairs is None:
+        num_pairs = len(dset)
+    loader = DataLoader(dset, batch_size=batch, shuffle=False,
+                        drop_last=False)
+    pck = pck_transfer(params, cfg, loader, alphas=alphas,
+                       num_pairs=num_pairs, iters=iters,
+                       padding_mode=padding_mode,
+                       match_flows=not no_flip_inference,
+                       transfer_both_ways=transfer_both_ways,
+                       permutation=permutation, batch_size=batch,
+                       progress=True)
+    for a, p in zip(alphas, pck):
+        print(f"PCK-Transfer@{a}: {p * 100:.2f}%")
+    return pck

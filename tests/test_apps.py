@@ -1,0 +1,121 @@
+"""End-to-end app tests over synthetic LMDB datasets with an identity-init
+STN: PCK-Transfer, flow scores, congeal_dataset."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gangealing_tpu.data.lmdb_io import write_lmdb
+from gangealing_tpu.data.dataset import PCKDataset, DataLoader, \
+    MultiResolutionDataset
+from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_init
+
+S = 64
+CFG = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
+                        supersize=S, channel_multiplier=0.25,
+                        flow_downsample=4, max_channels=32)
+
+
+def _encode_png(arr):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture
+def pck_lmdb(tmp_path, rng):
+    """8 images; pairs (2i, 2i+1) are identical images with identical kps."""
+    import torch
+    n = 8
+    base = (rng.rand(n // 2, S, S, 3) * 255).astype(np.uint8)
+    imgs = np.repeat(base, 2, axis=0)
+    items = {b"length": str(n).encode()}
+    for i in range(n):
+        items[f"{S}-{str(i).zfill(5)}".encode()] = _encode_png(imgs[i])
+    path = str(tmp_path / "pck")
+    write_lmdb(path, items)
+    kps = np.concatenate([
+        rng.rand(n, 5, 2).astype(np.float32) * (S - 1),
+        np.ones((n, 5, 1), np.float32)], axis=2)
+    kps[1::2] = kps[0::2]  # pairs share keypoints
+    torch.save(torch.from_numpy(kps), os.path.join(path, "keypoints.pt"))
+    torch.save(torch.arange(n).view(n // 2, 2), os.path.join(path, "pairs.pt"))
+    return path
+
+
+def test_pck_identity_stn_is_perfect(pck_lmdb):
+    """Identity STN + identical pairs -> est == gt -> PCK 100% at alpha=0.1."""
+    from gangealing_tpu.apps.pck import pck_transfer
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    dset = PCKDataset(pck_lmdb, resolution=S)
+    loader = DataLoader(dset, batch_size=4, shuffle=False, drop_last=False)
+    pck = pck_transfer(params, CFG, loader, alphas=(0.1, 0.05),
+                       num_pairs=len(dset), match_flows=False,
+                       transfer_both_ways=True, batch_size=4)
+    assert pck.shape == (2,)
+    assert pck[0] > 0.95, f"identity transfer should be near-perfect: {pck}"
+
+
+def test_pck_with_match_flows(pck_lmdb):
+    from gangealing_tpu.apps.pck import pck_transfer
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    dset = PCKDataset(pck_lmdb, resolution=S)
+    loader = DataLoader(dset, batch_size=4, shuffle=False, drop_last=False)
+    pck = pck_transfer(params, CFG, loader, alphas=(0.1,),
+                       num_pairs=4, match_flows=True,
+                       permutation=np.arange(5), batch_size=4)
+    assert pck[0] > 0.9
+
+
+@pytest.fixture
+def img_lmdb(tmp_path, rng):
+    n = 10
+    imgs = (rng.rand(n, S, S, 3) * 255).astype(np.uint8)
+    items = {b"length": str(n).encode()}
+    for i in range(n):
+        items[f"{S}-{str(i).zfill(5)}".encode()] = _encode_png(imgs[i])
+    path = str(tmp_path / "imgs")
+    write_lmdb(path, items)
+    return path
+
+
+def test_flow_scores_and_filter(img_lmdb):
+    from gangealing_tpu.apps.flow_scores import (
+        compute_flow_scores, get_flow_scores, filter_dataset)
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    # non-zero flow head so per-image smoothness varies
+    k = "stns.1.warp_head.flow_out.2.weight"
+    params[k] = 0.1 * jax.random.normal(jax.random.PRNGKey(7),
+                                        params[k].shape)
+    scores = compute_flow_scores(params, CFG, img_lmdb, real_size=S, batch=4,
+                                 no_flip_inference=True, save=True)
+    assert scores.shape == (10,)
+    assert np.all(np.isfinite(scores))
+    # cached path
+    cached = get_flow_scores(params, CFG, img_lmdb)
+    np.testing.assert_allclose(cached, scores, atol=1e-6)
+    ds = MultiResolutionDataset(img_lmdb, resolution=S)
+    filtered = filter_dataset(ds, scores, 0.5)
+    assert 0 < len(filtered) < 10
+
+
+def test_congeal_dataset(img_lmdb, tmp_path):
+    from gangealing_tpu.apps.congeal_dataset import align_and_filter_dataset
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    out = str(tmp_path / "aligned")
+    used = align_and_filter_dataset(
+        params, CFG, img_lmdb, out, real_size=S, flow_size=S,
+        output_resolution=S, batch=4, min_effective_resolution=S // 2,
+        no_flip_inference=True)
+    # identity STN: scale=1, no OOB -> everything retained
+    assert used == list(range(10))
+    ds = MultiResolutionDataset(out, resolution=S)
+    assert len(ds) == 10
+    x = ds[0]
+    assert x.shape == (3, S, S)
