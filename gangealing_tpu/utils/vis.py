@@ -63,7 +63,7 @@ def images2grid(images, nrow=8, padding=2, normalize=False, range=None,
     nrows = int(math.ceil(N / ncol))
     grid = np.full((C, padding + nrows * (H + padding),
                     padding + ncol * (W + padding)), pad_value, np.float32)
-    for i in range(N):
+    for i in np.arange(N):  # `range` name is taken by the kwarg (API parity)
         r, c = divmod(i, ncol)
         y = padding + r * (H + padding)
         x = padding + c * (W + padding)
