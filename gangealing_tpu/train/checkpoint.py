@@ -1,0 +1,88 @@
+"""Checkpointing: native (orbax) save/restore of the full train state, plus
+torch-schema export/import for model-zoo compatibility.
+
+Capability reference: train.py:22-28 (ckpt schema: g_ema, t, t_ema, t_optim,
+t_sched, ll, ll_optim, ll_sched, args), download.py:32-38 (find_model
+name-or-path resolution), train.py:218-253 (resume w/ G-only fallback and
+start-iteration parsing).
+"""
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_native(path: str, state: Dict[str, Any], g_params=None, args=None):
+    """Save the full train state with orbax (exact resume incl. optimizer)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"state": state}
+    if g_params is not None:
+        payload["g_ema"] = g_params
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if args is not None:
+        import json
+        with open(os.path.join(path, "train_args.json"), "w") as f:
+            json.dump(args, f, indent=2, default=str)
+
+
+def load_native(path: str, abstract_payload=None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if abstract_payload is not None:
+        return ckptr.restore(os.path.abspath(path), abstract_payload)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def export_torch(path: str, state: Dict[str, Any], g_params, args=None):
+    """Write a reference-schema .pt checkpoint (model weights only; optimizer
+    state is saved natively by save_native). Loadable by the reference code
+    and by our importer."""
+    import torch
+
+    def to_t(tree):
+        return {k: torch.from_numpy(np.asarray(v)) for k, v in tree.items()}
+
+    ckpt = {
+        "g_ema": to_t(g_params),
+        "t": to_t(state["t"]),
+        "t_ema": to_t(state["t_ema"]),
+        "ll": to_t(state["ll"]),
+    }
+    if args is not None:
+        import argparse
+        ns = argparse.Namespace(**args) if isinstance(args, dict) else args
+        ckpt["args"] = ns
+    torch.save(ckpt, path)
+
+
+def parse_start_iter(ckpt_path: str) -> int:
+    """Recover the start iteration from the checkpoint filename
+    (train.py:245-253)."""
+    name = os.path.basename(ckpt_path)
+    if name.startswith("best_"):
+        name = name[5:]
+    stem = os.path.splitext(name)[0]
+    try:
+        return int(stem)
+    except ValueError:
+        return 0
+
+
+def find_model(name_or_path: str) -> str:
+    """Resolve a model name or path (download.py:32-38). In this offline
+    environment, names resolve only against a local 'pretrained/' dir."""
+    if os.path.exists(name_or_path):
+        return name_or_path
+    local = os.path.join("pretrained", f"{name_or_path}.pt")
+    if os.path.exists(local):
+        return local
+    raise FileNotFoundError(
+        f"checkpoint {name_or_path!r} not found (no network access; place "
+        f"pretrained checkpoints under ./pretrained/)")

@@ -1,0 +1,171 @@
+"""The GANgealing training driver.
+
+Capability reference: train.py:31-266 — per-iteration psi annealing, loss,
+Adam steps, SGDR scheduling in fractional epochs, EMA, scalar logging,
+checkpoints at every LR-zero crossing, periodic visuals; cold-start PCA of
+1M W samples (+ kmeans++ for clustering models).
+
+TPU structure: one jitted step (train/state.py) re-used for the whole run;
+psi/lr are traced scalars computed host-side; the latent batch is sharded
+over the data mesh each iteration.
+"""
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gangealing_tpu.train.state import (
+    TrainConfig, init_train_state, make_train_step)
+from gangealing_tpu.train.annealing import (
+    psi_at_iter, lr_at_iter, lr_cycle_iters)
+from gangealing_tpu.train.checkpoint import (
+    save_native, export_torch, parse_start_iter)
+from gangealing_tpu.train.visuals import (
+    GANgealingWriter, create_training_visuals,
+    create_training_cluster_visuals)
+from gangealing_tpu.models.latent_learner import (
+    PCA, assign_pca_buffers, assign_coefficients)
+from gangealing_tpu.models.stylegan2 import batch_latent
+from gangealing_tpu.parallel import make_mesh, shard_batch, replicated_sharding
+
+
+def cold_start_ll(ll_params, g_params, cfg: TrainConfig, key,
+                  perceptual_fn=None, perceptual_params=None, debug=False,
+                  kmeans_latents=50000):
+    """PCA(+kmeans++) initialization of the latent learner
+    (train.py:228-243)."""
+    n_pca = 1000 if debug else 1000000
+    ws = []
+    chunk = 10000
+    for i in range(0, n_pca, chunk):
+        kk = jax.random.fold_in(key, i)
+        ws.append(np.asarray(batch_latent(g_params, cfg.g, kk,
+                                          min(chunk, n_pca - i))))
+    ws = np.concatenate(ws)
+    pca = PCA(cfg.ll.n_comps, ws)
+    ll_params = assign_pca_buffers(ll_params, pca)
+    if cfg.clustering:
+        if debug:
+            centroids = jnp.asarray(ws[:cfg.t.num_heads])
+        else:
+            from gangealing_tpu.train.clustering import kmeans_plusplus
+            pfn = lambda x, y: perceptual_fn(perceptual_params, x, y)
+            centroids = kmeans_plusplus(
+                g_params, cfg.g, pfn, cfg.t.num_heads, kmeans_latents,
+                jax.random.fold_in(key, 999), inject_index=cfg.ll.inject_index)
+        ll_params = assign_coefficients(ll_params, pca.encode(centroids))
+    return ll_params
+
+
+def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
+                     perceptual_params, perceptual_fn: Callable,
+                     results_path: str, start_iter: int = 0,
+                     resume_state=None, real_loader=None, sample_reals=None,
+                     seed: int = 0, n_sample: int = 64, n_mean: int = 8000,
+                     vis_batch_size: int = 250, log_every: int = 25,
+                     ckpt_every: int = 50000, vis_every: int = 5000,
+                     use_mesh: bool = True, export_torch_ckpts: bool = True,
+                     progress: bool = True):
+    """Run the training loop for cfg.iter iterations. Returns final state."""
+    writer = GANgealingWriter(results_path)
+    with open(os.path.join(results_path, "opt.txt"), "w") as f:
+        json.dump({k: str(v) for k, v in cfg.__dict__.items()}, f, indent=2)
+
+    mesh = make_mesh() if use_mesh and jax.device_count() > 1 else None
+
+    state = resume_state if resume_state is not None \
+        else init_train_state(t_params, ll_params)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        put = lambda t: jax.tree.map(lambda x: jax.device_put(x, rep), t)
+        state = put(state)
+        g_params = put(g_params)
+        if perceptual_params is not None:
+            perceptual_params = put(perceptual_params)
+
+    step_fn = make_train_step(cfg, g_params, perceptual_params,
+                              perceptual_fn)
+
+    zero_lr = set(lr_cycle_iters(cfg.anneal_psi, cfg.period, cfg.iter,
+                                 cfg.tm))
+    early_vis = {100} | zero_lr
+
+    key = jax.random.PRNGKey(seed)
+    z_key, vis_key = jax.random.split(key)
+    sample_z = jax.random.normal(jax.random.fold_in(vis_key, 1),
+                                 (max(1, n_sample // cfg.t.num_heads),
+                                  cfg.g.style_dim))
+    big_sample_z = jax.random.normal(jax.random.fold_in(vis_key, 2),
+                                     (n_mean, cfg.g.style_dim)) \
+        if cfg.clustering else None
+
+    def maybe_vis(i, psi):
+        t_ema = jax.tree.map(np.asarray, state["t_ema"])
+        kk = jax.random.fold_in(vis_key, i)
+        if cfg.clustering:
+            pfn = lambda x, y: perceptual_fn(perceptual_params, x, y)
+            create_training_cluster_visuals(
+                g_params, cfg.g, t_ema, cfg.t, state["ll"], cfg.ll, pfn,
+                real_loader, sample_z, big_sample_z, psi, n_mean, n_sample,
+                cfg.t.num_heads, cfg.flips, vis_batch_size, i, writer, kk,
+                padding_mode=cfg.padding_mode)
+        else:
+            create_training_visuals(
+                g_params, cfg.g, t_ema, cfg.t, state["ll"], cfg.ll,
+                real_loader, sample_reals, sample_z, psi, n_mean, n_sample,
+                i, writer, kk, padding_mode=cfg.padding_mode)
+
+    def save(i):
+        name = str(i).zfill(7)
+        ckpt_dir = os.path.join(results_path, "checkpoints")
+        host_state = jax.tree.map(np.asarray, state)
+        save_native(os.path.join(ckpt_dir, name), host_state,
+                    g_params=jax.tree.map(np.asarray, g_params),
+                    args={k: str(v) for k, v in cfg.__dict__.items()})
+        if export_torch_ckpts:
+            export_torch(os.path.join(ckpt_dir, f"{name}.pt"), host_state,
+                         jax.tree.map(np.asarray, g_params))
+
+    if vis_every > 0:
+        maybe_vis(start_iter, 1.0 if cfg.anneal_psi > 0 else 0.0)
+
+    t0 = time.time()
+    for idx in range(cfg.iter - start_iter):
+        i = idx + start_iter + 1
+        psi = psi_at_iter(i, cfg.anneal_psi, cfg.anneal_fn)
+        lr_t = lr_at_iter(i, cfg.stn_lr, cfg.anneal_psi, cfg.period, cfg.tm,
+                          cfg.decay)
+        lr_ll = lr_at_iter(i, cfg.ll_lr, cfg.anneal_psi, cfg.period, cfg.tm,
+                           cfg.decay)
+        zk = jax.random.fold_in(z_key, i)
+        z = jax.random.normal(zk, (cfg.batch, cfg.g.style_dim))
+        if mesh is not None:
+            z = shard_batch(mesh, z)
+        state, metrics = step_fn(state, z, jax.random.fold_in(zk, 1),
+                                 jnp.float32(psi), jnp.float32(lr_t),
+                                 jnp.float32(lr_ll))
+        if i % log_every == 0 or i in zero_lr:
+            m = {k: float(v) for k, v in metrics.items()}
+            writer.add_scalar("Loss/Reconstruction", m["p"], i)
+            writer.add_scalar("Loss/TotalVariation", m["tv"], i)
+            writer.add_scalar("Loss/FlowIdentity", m["f"], i)
+            writer.add_scalar("Progress/psi", psi, i)
+            writer.add_scalar("Progress/STN_LearningRate", lr_t, i)
+            writer.add_scalar("Progress/LL_LearningRate", lr_ll, i)
+            if progress:
+                rate = (i - start_iter) / max(time.time() - t0, 1e-9)
+                print(f"\r[{i}/{cfg.iter}] p={m['p']:.4f} tv={m['tv']:.6f} "
+                      f"psi={psi:.4f} {rate * cfg.batch:.1f} imgs/s",
+                      end="", flush=True)
+        if ckpt_every > 0 and (i % ckpt_every == 0 or i in zero_lr):
+            save(i)
+        if vis_every > 0 and (i % vis_every == 0 or i in early_vis):
+            maybe_vis(i, psi)
+    if progress:
+        print()
+    return state

@@ -1,0 +1,43 @@
+"""The MXU grid-sample kernel must match the XLA/torch-parity grid_sample
+exactly (f32 precision, interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gangealing_tpu.ops.grid_sample import grid_sample
+from gangealing_tpu.ops.pallas_grid_sample import grid_sample_mxu
+
+
+@pytest.mark.parametrize("padding_mode", ["border", "zeros", "reflection"])
+def test_mxu_matches_xla(rng, padding_mode):
+    x = rng.randn(2, 3, 32, 24).astype(np.float32)
+    g = (rng.rand(2, 16, 16, 2).astype(np.float32) * 2 - 1) * 1.4
+    ref = grid_sample(jnp.asarray(x), jnp.asarray(g),
+                      padding_mode=padding_mode)
+    out = grid_sample_mxu(jnp.asarray(x), jnp.asarray(g),
+                          padding_mode=padding_mode, precision="f32",
+                          point_block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_mxu_nonmultiple_points(rng):
+    """P not a multiple of the point block exercises padding."""
+    x = rng.randn(1, 4, 16, 16).astype(np.float32)
+    g = (rng.rand(1, 5, 7, 2).astype(np.float32) * 2 - 1)
+    ref = grid_sample(jnp.asarray(x), jnp.asarray(g))
+    out = grid_sample_mxu(jnp.asarray(x), jnp.asarray(g), precision="f32",
+                          point_block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_mxu_bf16_close(rng):
+    x = rng.randn(1, 3, 64, 64).astype(np.float32)
+    g = (rng.rand(1, 32, 32, 2).astype(np.float32) * 2 - 1)
+    ref = grid_sample(jnp.asarray(x), jnp.asarray(g))
+    out = grid_sample_mxu(jnp.asarray(x), jnp.asarray(g), precision="bf16",
+                          point_block=128, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.05, err

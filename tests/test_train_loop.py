@@ -1,0 +1,102 @@
+"""End-to-end micro training run through the full loop (3 iters, tiny
+models, 8-device mesh), plus checkpoint save/export/restore."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gangealing_tpu.models.stylegan2 import GeneratorConfig, generator_init
+from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_init
+from gangealing_tpu.models.latent_learner import (
+    LatentLearnerConfig, latent_learner_init)
+from gangealing_tpu.train.state import TrainConfig, init_train_state
+from gangealing_tpu.train.loop import train_gangealing, cold_start_ll
+from gangealing_tpu.train.checkpoint import (
+    save_native, load_native, export_torch, parse_start_iter)
+
+
+G_CFG = GeneratorConfig(size=64, style_dim=32, n_mlp=2, channel_multiplier=1,
+                        max_channels=32)
+T_CFG = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=64,
+                          supersize=64, channel_multiplier=0.25,
+                          flow_downsample=4, max_channels=32)
+LL_CFG = LatentLearnerConfig(n_comps=2, inject_index=3,
+                             n_latent=G_CFG.n_latent, num_heads=1,
+                             style_dim=32)
+
+
+def _l2(params, x, y):
+    return jnp.mean((x - y) ** 2, axis=(1, 2, 3), keepdims=True)
+
+
+def test_full_loop_and_checkpoints(tmp_path):
+    cfg = TrainConfig(g=G_CFG, t=T_CFG, ll=LL_CFG, batch=8, iter=3,
+                      anneal_psi=2, period=1, tv_weight=10.0,
+                      flow_identity_weight=1.0)
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), T_CFG)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), LL_CFG)
+    ll_params = cold_start_ll(ll_params, g_params, cfg, jax.random.PRNGKey(3),
+                              debug=True)
+    results = str(tmp_path / "results")
+    os.makedirs(results, exist_ok=True)
+    state = train_gangealing(
+        cfg, g_params, t_params, ll_params, None, _l2, results,
+        n_sample=4, n_mean=4, log_every=1, ckpt_every=0, vis_every=0,
+        progress=False)
+    assert int(state["step"]) == 3
+    assert os.path.exists(os.path.join(results, "scalars.jsonl"))
+
+    # native checkpoint roundtrip
+    host_state = jax.tree.map(np.asarray, state)
+    ck = str(tmp_path / "ckpt" / "0000003")
+    save_native(ck, host_state, g_params=jax.tree.map(np.asarray, g_params))
+    restored = load_native(ck)
+    np.testing.assert_allclose(
+        np.asarray(restored["state"]["t"]["stns.0.warp_head.linear.bias"]),
+        np.asarray(host_state["t"]["stns.0.warp_head.linear.bias"]))
+
+    # torch export + re-import through our own importer
+    pt = str(tmp_path / "0000003.pt")
+    export_torch(pt, host_state, jax.tree.map(np.asarray, g_params),
+                 args={"flow_size": 64})
+    from gangealing_tpu.io import load_torch_checkpoint
+    back = load_torch_checkpoint(pt)
+    assert "t_ema" in back and "g_ema" in back
+    np.testing.assert_allclose(
+        back["t_ema"]["stns.0.warp_head.linear.bias"],
+        np.asarray(host_state["t_ema"]["stns.0.warp_head.linear.bias"]))
+    assert parse_start_iter(pt) == 3
+
+
+def test_cold_start_clustering(tmp_path):
+    t_cfg = ComposedSTNConfig(**{**T_CFG.__dict__, "num_heads": 2})
+    ll_cfg = LatentLearnerConfig(**{**LL_CFG.__dict__, "num_heads": 2})
+    cfg = TrainConfig(g=G_CFG, t=t_cfg, ll=ll_cfg, batch=4, iter=1,
+                      anneal_psi=1, period=1, flips=True)
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
+    ll_params = cold_start_ll(ll_params, g_params, cfg, jax.random.PRNGKey(3),
+                              debug=True)
+    assert ll_params["coefficients"].shape == (2, 2)
+    assert ll_params["directions"].shape == (2, 32)
+    # debug mode picks centroids straight from W samples; coefficients differ
+    assert not np.allclose(np.asarray(ll_params["coefficients"][0]),
+                           np.asarray(ll_params["coefficients"][1]))
+
+
+def test_kmeans_plusplus_tiny():
+    from gangealing_tpu.train.clustering import kmeans_plusplus
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    cents = kmeans_plusplus(g_params, G_CFG, _l2_wrap, 3, 20,
+                            jax.random.PRNGKey(1), inject_index=3,
+                            batch_size=10)
+    assert cents.shape == (3, 32)
+
+
+def _l2_wrap(x, y):
+    return jnp.mean((x - y) ** 2, axis=(1, 2, 3), keepdims=True)
