@@ -33,12 +33,16 @@ def _kernel(coords_ref, img_ref, out_ref, *, H, W, C, PB, compute_dtype):
     # coords: (1, PB, 2) f32; img: (1, H, C*W); out: (1, PB, C)
     x = coords_ref[0, :, 0]  # (PB,)
     y = coords_ref[0, :, 1]
-    hh = jax.lax.broadcasted_iota(jnp.float32, (PB, H), 1)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (PB, H), 1).astype(jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - hh))  # (PB, H)
     img = img_ref[0]  # (H, C*W)
+    mm_precision = (jax.lax.Precision.HIGHEST
+                    if compute_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
     rows = jnp.dot(wy.astype(compute_dtype), img.astype(compute_dtype),
-                   preferred_element_type=jnp.float32)  # (PB, C*W)
-    ww = jax.lax.broadcasted_iota(jnp.float32, (PB, W), 1)
+                   preferred_element_type=jnp.float32,
+                   precision=mm_precision)  # (PB, C*W)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (PB, W), 1).astype(jnp.float32)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ww))  # (PB, W)
     rows = rows.reshape(PB, C, W)
     out_ref[0] = jnp.sum(rows * wx[:, None, :].astype(rows.dtype), axis=2)

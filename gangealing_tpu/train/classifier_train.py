@@ -1,0 +1,112 @@
+"""Cluster classifier training (post-hoc, everything else frozen).
+
+Capability reference: train_cluster_classifier.py:30-137,175-215. Per step:
+generate fakes, assign to min-perceptual-loss cluster (x flips) with the
+frozen STN, train the classifier with cross-entropy on those assignments.
+Warm-started from the similarity STN's encoder weights (:184-189).
+"""
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gangealing_tpu.models.classifier import (
+    ClassifierConfig, classifier_init, classifier_forward,
+    reverse_topk_accuracy)
+from gangealing_tpu.train.losses import assign_fake_images_to_clusters
+from gangealing_tpu.train.state import TrainConfig, adam
+from gangealing_tpu.train.annealing import decaying_cosine_warm_restarts
+
+
+def warm_start_from_stn(cls_params, t_params) -> Dict:
+    """Copy the similarity-STN encoder weights into the classifier
+    (train_cluster_classifier.py:184-189). Non-matching keys are kept."""
+    out = dict(cls_params)
+    prefix = "stns.0." if any(k.startswith("stns.0.") for k in t_params) \
+        else ""
+    for k in cls_params:
+        src = prefix + k
+        if src in t_params and t_params[src].shape == cls_params[k].shape:
+            out[k] = t_params[src]
+    return out
+
+
+def make_classifier_train_step(cfg: TrainConfig, cls_cfg: ClassifierConfig,
+                               g_params, t_params, ll_params,
+                               perceptual_params, perceptual_fn: Callable):
+    opt = adam()
+    K = cfg.t.num_heads
+    total_clusters = K * (1 + cfg.flips)
+
+    def assign(key):
+        pfn = lambda x, y: perceptual_fn(perceptual_params, x, y)
+        min_val, min_idx, _, _, unaligned, resized, distances = \
+            assign_fake_images_to_clusters(
+                g_params, cfg.g, t_params, cfg.t, ll_params, cfg.ll, pfn,
+                key, 0.0, cfg.batch, K, cfg.flips, freeze_ll=True,
+                sample_from_full_res=cfg.sample_from_full_res,
+                padding_mode=cfg.padding_mode)
+        return (jax.lax.stop_gradient(resized[:cfg.batch]),
+                jax.lax.stop_gradient(min_idx),
+                jax.lax.stop_gradient(distances))
+
+    def loss_fn(cls_params, imgs, labels):
+        logits = classifier_forward(cls_params, cls_cfg, imgs)
+        xent = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels))
+        return xent, logits
+
+    @jax.jit
+    def step(cls_params, opt_state, key, lr):
+        imgs, labels, distances = assign(key)
+        (xent, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            cls_params, imgs, labels)
+        updates, opt_state = opt.update(grads, opt_state, cls_params)
+        cls_params = jax.tree.map(lambda p, u: p - lr * u, cls_params,
+                                  updates)
+        acc1 = reverse_topk_accuracy(distances, logits, k=1)
+        acc2 = reverse_topk_accuracy(distances, logits, k=2)
+        gt_counts = jnp.bincount(labels, length=total_clusters) / cfg.batch
+        pred_counts = jnp.bincount(jnp.argmax(logits, 1),
+                                   length=total_clusters) / cfg.batch
+        metrics = {"cross_entropy": xent, "acc@1": acc1, "acc@2": acc2,
+                   "gt_counts": gt_counts, "pred_counts": pred_counts}
+        return cls_params, opt_state, metrics
+
+    return step
+
+
+def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
+                             g_params, t_params, ll_params, cls_params,
+                             perceptual_params, perceptual_fn,
+                             iters: int, cls_lr: float = 0.001,
+                             period: float = 2500.0, decay: float = 0.9,
+                             tm: int = 2, seed: int = 0, log_every: int = 25,
+                             writer=None, progress: bool = True):
+    step = make_classifier_train_step(cfg, cls_cfg, g_params, t_params,
+                                      ll_params, perceptual_params,
+                                      perceptual_fn)
+    opt_state = adam().init(cls_params)
+    key = jax.random.PRNGKey(seed)
+    for i in range(1, iters + 1):
+        lr = decaying_cosine_warm_restarts(i / period, cls_lr, t_0=1,
+                                           t_mult=tm, decay=decay)
+        cls_params, opt_state, metrics = step(
+            cls_params, opt_state, jax.random.fold_in(key, i),
+            jnp.float32(lr))
+        if (i % log_every == 0 or i == 1):
+            m = {k: np.asarray(v) for k, v in metrics.items()}
+            if writer is not None:
+                writer.add_scalar("Loss/CrossEntropy",
+                                  float(m["cross_entropy"]), i)
+                writer.add_scalar("Loss/Accuracy@1", float(m["acc@1"]), i)
+                writer.add_scalar("Loss/Accuracy@2", float(m["acc@2"]), i)
+            if progress:
+                print(f"\r[{i}/{iters}] xent={float(m['cross_entropy']):.4f}"
+                      f" acc@1={float(m['acc@1']):.3f}", end="", flush=True)
+    if progress:
+        print()
+    return cls_params, opt_state
