@@ -1,0 +1,83 @@
+"""Static-image congealing + edit propagation + average congealed image.
+
+Capability reference: applications/propagate_to_images.py:44-104. Same
+machinery as mixed_reality but over an image dataset: congeal every image,
+compute the dataset's average congealed image, and optionally propagate a
+congealed-space RGBA edit back onto each input image.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from gangealing_tpu.models.stn import (
+    ComposedSTNConfig, composed_stn_forward, composed_uncongeal_points)
+from gangealing_tpu.apps.common import determine_flips
+from gangealing_tpu.utils.vis import (
+    splat_points, save_image, load_dense_label)
+
+
+def propagate_to_images(params, cfg: ComposedSTNConfig, images,
+                        label_path=None, sigma=1.2, opacity=1.0,
+                        blend_alg="alpha", iters=1, padding_mode="border",
+                        batch=8, classifier=None, cluster=None,
+                        no_flip_inference=False, out_dir=None,
+                        resolution=None):
+    """images: (N, C, S, S) in [-1, 1]. Returns dict with 'congealed',
+    'average_congealed' and (if label given) 'propagated'."""
+    images = np.asarray(images)
+    N, C, S, _ = images.shape
+    points = colors = alphas = None
+    if label_path is not None:
+        points, colors, alphas = load_dense_label(label_path,
+                                                  resolution=resolution,
+                                                  load_colors=True)
+    cls_args = {}
+    if classifier is not None:
+        cls_args = dict(classifier_params=classifier[0],
+                        classifier_cfg=classifier[1], cluster=cluster)
+    congealed, propagated = [], []
+    for s in range(0, N, batch):
+        xb = jnp.asarray(images[s:s + batch])
+        n = xb.shape[0]
+        flipped, flip_idx, warp_policy, _ = determine_flips(
+            params, cfg, xb, no_flip_inference=no_flip_inference,
+            iters=iters, padding_mode=padding_mode, **cls_args)
+        cong, _, _, _, _ = composed_stn_forward(
+            params, cfg, flipped, output_resolution=S, iters=iters,
+            padding_mode=padding_mode,
+            warp_policy=(warp_policy if classifier is not None
+                         else "cartesian"))
+        congealed.append(np.asarray(cong[:n]))
+        if points is not None:
+            pts = jnp.tile(points, (n, 1, 1))
+            prop_pts = composed_uncongeal_points(
+                params, cfg, flipped, pts, normalize_input_points=True,
+                unnormalize_output_points=True, iters=iters,
+                padding_mode=padding_mode, warp_policy=warp_policy)
+            fi = flip_idx.reshape(n, 1)
+            prop_pts = prop_pts.at[..., 0].set(
+                jnp.where(fi, S - 1 - prop_pts[..., 0], prop_pts[..., 0]))
+            out = splat_points(xb, prop_pts, sigma=sigma, opacity=opacity,
+                               colors=jnp.tile(colors, (n, 1, 1)),
+                               alpha_channel=jnp.tile(alphas, (n, 1, 1)),
+                               blend_alg=blend_alg)
+            propagated.append(np.asarray(out))
+    result = {"congealed": np.concatenate(congealed, 0)}
+    result["average_congealed"] = result["congealed"].mean(axis=0,
+                                                           keepdims=True)
+    if propagated:
+        result["propagated"] = np.concatenate(propagated, 0)
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        save_image(result["congealed"], os.path.join(out_dir, "congealed.png"),
+                   normalize=True, range=(-1, 1))
+        save_image(result["average_congealed"],
+                   os.path.join(out_dir, "average_congealed.png"),
+                   normalize=True, range=None)
+        if "propagated" in result:
+            save_image(result["propagated"],
+                       os.path.join(out_dir, "propagated.png"),
+                       normalize=True, range=(-1, 1))
+    return result

@@ -753,3 +753,68 @@ def composed_match_flows(params: Params, cfg: ComposedSTNConfig, imgA, imgB,
             pointsA = jnp.where(flipB[:, :, None], pointsA[:, perm], pointsA)
         return imgA, imgB, pointsA, pointsB, pick4
     return imgA, imgB, pointsA, pick4
+
+
+# ---------------------------------------------------------------------------
+# AR object propagation
+# ---------------------------------------------------------------------------
+
+def composed_propagate_object(params: Params, cfg: ComposedSTNConfig,
+                              congealed_object_points,
+                              congealed_object_values, congealed_mask_values,
+                              target_image, sigma, classifier=None,
+                              cluster=None, max_sigma=8.0,
+                              **uncongeal_kwargs):
+    """Propagate a congealed-space RGBA object onto target images via
+    uncongealing + Gaussian splatting (spatial_transformer.py:297-366).
+
+    classifier: optional (params, cfg) tuple for clustering models.
+    Returns (propagated_object_img, propagated_mask_img), each (N, C/1, H, W).
+
+    TPU note: the reference's per-image ragged "valid point" gathers are
+    replaced by masking — out-of-bounds points are dropped inside splat2d
+    already, so no data-dependent shapes arise.
+    """
+    from gangealing_tpu.ops.splat import splat2d
+
+    N = target_image.shape[0]
+    supersize = target_image.shape[-1]
+    assert target_image.shape[-2] == supersize, "square inputs only"
+
+    if cfg.num_heads == 1:
+        warp_policy = "cartesian"
+        flip = jnp.zeros((N, 1, 1, 1), bool)
+    else:
+        assert classifier is not None, \
+            "clustering models need a cluster classifier"
+        cls_params, cls_cfg = classifier
+        from gangealing_tpu.models.classifier import classifier_run_flip_target
+        _, flip_vec = classifier_run_flip_target(cls_params, cls_cfg,
+                                                 target_image, cluster)
+        flip = flip_vec.reshape(N, 1, 1, 1)
+        warp_policy = jnp.eye(cfg.num_heads,
+                              dtype=target_image.dtype)[
+            jnp.full((N,), cluster, jnp.int32)]
+
+    propagated = composed_uncongeal_points(
+        params, cfg, target_image, congealed_object_points,
+        normalize_input_points=False, unnormalize_output_points=True,
+        warp_policy=warp_policy, **uncongeal_kwargs)  # (N, P, 2)
+
+    # splat2d skips out-of-bounds points internally; match the reference's
+    # rounding-based visibility rule by nudging coords that round outside.
+    rounded = jnp.round(propagated)
+    visible = ((rounded[..., 0] >= 0) & (rounded[..., 1] >= 0)
+               & (rounded[..., 0] < supersize) & (rounded[..., 1] < supersize))
+    # move invisible points far outside so splat2d drops them
+    propagated = jnp.where(visible[..., None], propagated, -1e6)
+
+    blank_img = jnp.zeros_like(target_image)
+    blank_mask = blank_img[:, :1]
+    obj_img = splat2d(blank_img, propagated, congealed_object_values, sigma,
+                      False, max_sigma=max_sigma)
+    mask_img = splat2d(blank_mask, propagated, congealed_mask_values, sigma,
+                       True, max_sigma=max_sigma)
+    obj_img = jnp.where(flip, jnp.flip(obj_img, 3), obj_img)
+    mask_img = jnp.where(flip, jnp.flip(mask_img, 3), mask_img)
+    return obj_img, mask_img
