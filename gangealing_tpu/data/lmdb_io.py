@@ -393,3 +393,31 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
             f.write(p)
     # an (empty) lock file for compatibility with real lmdb clients
     open(os.path.join(path, "lock.mdb"), "ab").close()
+
+
+def iterate_keys(path):
+    """Walk the B+tree and yield all keys in order (cursor equivalent,
+    used for LSUN-LMDB inputs to the dataset builder)."""
+    r = _PyReader(path)
+    if r.root == P_INVALID:
+        return
+    stack = [r.root]
+    out = []
+
+    def walk(pgno):
+        base = pgno * r.psize
+        flags = struct.unpack_from("<H", r.buf, base + 10)[0]
+        lower = struct.unpack_from("<H", r.buf, base + 12)[0]
+        nkeys = (lower - PAGEHDRSZ) >> 1
+        ptrs = struct.unpack_from(f"<{nkeys}H", r.buf, base + PAGEHDRSZ)
+        for i in range(nkeys):
+            noff = base + ptrs[i]
+            lo, hi, nflags, ksize = struct.unpack_from("<HHHH", r.buf, noff)
+            k = r.buf[noff + NODESZ:noff + NODESZ + ksize]
+            if flags & P_BRANCH:
+                walk(lo | (hi << 16) | (nflags << 32))
+            else:
+                out.append(k)
+
+    walk(r.root)
+    return out

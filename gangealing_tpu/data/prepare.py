@@ -365,3 +365,75 @@ def create_dataset(out, path, size, pad="zero", format="jpeg",
     if progress:
         print(f"\nFinal dataset size: {total}")
     return total
+
+
+def lmdb_file_iterator(lmdb_path, max_images=None):
+    """Enumerate (index, key) from an input LMDB (LSUN-style) for
+    create_dataset (prepare_data.py:321-331)."""
+    from gangealing_tpu.data.lmdb_io import iterate_keys, LMDBReader
+    keys = [k for k in iterate_keys(lmdb_path) if k != b"length"]
+    if max_images is not None:
+        keys = keys[:max_images]
+    return keys
+
+
+def create_dataset_from_lmdb(out, lmdb_path, size, pad="center",
+                             format="jpeg", max_images=None, progress=True):
+    """Build a multi-resolution LMDB from an input LMDB of encoded images
+    (the LSUN path of prepare_data.py:292-331)."""
+    from PIL import Image
+    from gangealing_tpu.data.lmdb_io import LMDBReader, write_lmdb
+    sizes = [int(s.strip()) for s in str(size).split(",")]
+    os.makedirs(out, exist_ok=True)
+    reader = LMDBReader(lmdb_path)
+    keys = lmdb_file_iterator(lmdb_path, max_images)
+    items = {}
+    total = 0
+    skipped = 0
+    for i, k in enumerate(keys):
+        data = reader.get(k)
+        try:
+            try:
+                import cv2
+                arr = cv2.imdecode(np.frombuffer(data, np.uint8), 1)
+                if arr is None:
+                    raise IOError("cv2.imdecode failed")
+                img = Image.fromarray(arr[:, :, ::-1])
+            except Exception:
+                img = Image.open(io.BytesIO(data)).convert("RGB")
+            encs = [resize_and_convert(img, s, pad, format=format)
+                    for s in sizes]
+        except Exception as e:
+            print(f"skipping image {k!r}: {e}")
+            skipped += 1
+            continue
+        for s, enc in zip(sizes, encs):
+            items[f"{s}-{str(i - skipped).zfill(5)}".encode()] = enc
+        total += 1
+    items[b"length"] = str(total).encode()
+    write_lmdb(out, items)
+    if progress:
+        print(f"Final dataset size: {total}")
+    return total
+
+
+def load_video_frames(path, max_frames=None, resolution=None):
+    """Decode a video file into (T, C, H, W) float frames in [-1, 1]
+    (the process_video.sh capability, via cv2 instead of ffmpeg)."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frame = frame[:, :, ::-1]  # BGR -> RGB
+        if resolution is not None:
+            frame = cv2.resize(frame, (resolution, resolution),
+                               interpolation=cv2.INTER_AREA)
+        frames.append(frame)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    cap.release()
+    arr = np.stack(frames).astype(np.float32) / 255.0
+    return (arr * 2 - 1).transpose(0, 3, 1, 2)

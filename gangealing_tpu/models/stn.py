@@ -139,7 +139,8 @@ def _warp(img, grid, antialias, padding_mode):
     if antialias:
         return mipmap_warp(img, grid, max_num_levels=3.5,
                            padding_mode=padding_mode)
-    return grid_sample(img, grid, padding_mode=padding_mode)
+    from gangealing_tpu.ops.grid_sample import grid_sample_auto
+    return grid_sample_auto(img, grid, padding_mode=padding_mode)
 
 
 def similarity_head_init(key, in_dim, num_heads=1) -> Params:

@@ -132,6 +132,38 @@ def grid_sample(input, grid, mode="bilinear", padding_mode="border",
     return out.reshape(N, C, Ho, Wo).astype(input.dtype)
 
 
+def _default_backend_is_tpu():
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def grid_sample_auto(input, grid, mode="bilinear", padding_mode="border",
+                     align_corners=False, min_points_for_mxu=2048,
+                     precision=None):
+    """grid_sample with automatic kernel selection.
+
+    On TPU, large sampling grids route to the Pallas MXU kernel
+    (ops/pallas_grid_sample.py) — XLA's gather lowering is ~20x slower for
+    image-sized grids. Small point sets (keypoint transfer) and non-TPU
+    backends use the exact XLA formulation.
+    """
+    import os
+    P = grid.shape[1] * grid.shape[2]
+    if (mode == "bilinear" and not align_corners and P >= min_points_for_mxu
+            and _default_backend_is_tpu()):
+        from gangealing_tpu.ops.pallas_grid_sample import (
+            grid_sample_mxu, mxu_kernel_fits)
+        if mxu_kernel_fits(input):
+            if precision is None:
+                precision = os.environ.get("GANGEALING_GS_PRECISION", "bf16")
+            return grid_sample_mxu(input, grid, padding_mode=padding_mode,
+                                   precision=precision)
+    return grid_sample(input, grid, mode=mode, padding_mode=padding_mode,
+                       align_corners=align_corners)
+
+
 def affine_grid(theta, size, align_corners=False):
     """Generate a sampling grid from affine matrices.
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gangealing_tpu.ops.grid_sample import grid_sample
+from gangealing_tpu.ops.grid_sample import grid_sample_auto
 from gangealing_tpu.ops.resample import interpolate_bilinear, _DN
 
 
@@ -106,7 +106,7 @@ def mipmap_warp(inputs, grid, max_num_levels=3.5, min_level=0.0,
     # Warp all levels in one grid_sample over a folded channel axis; gather
     # indices are shared across C*D channels.
     big = jnp.concatenate(stack, axis=1)  # (N, C*D, H, W)
-    warped = grid_sample(big, grid, padding_mode=padding_mode)
+    warped = grid_sample_auto(big, grid, padding_mode=padding_mode)
     Ho, Wo = grid.shape[1], grid.shape[2]
     warped = warped.reshape(N, num_levels, C, Ho, Wo)
 
