@@ -1,0 +1,47 @@
+"""Mixed-reality video CLI (reference applications/mixed_reality.py)."""
+
+from gangealing_tpu.cli.args import base_eval_argparse
+
+
+def main():
+    parser = base_eval_argparse()
+    parser.add_argument("--video_path", type=str, required=True,
+                        help="mp4 file or directory of frames")
+    parser.add_argument("--label_path", type=str, default=None)
+    parser.add_argument("--out", type=str, default="visuals")
+    parser.add_argument("--sigma", default=1.2, type=float)
+    parser.add_argument("--opacity", default=1.0, type=float)
+    parser.add_argument("--blend_alg", default="alpha", type=str,
+                        choices=["alpha", "laplacian", "laplacian_light"])
+    parser.add_argument("--objects", action="store_true")
+    parser.add_argument("--save_correspondences", action="store_true")
+    parser.add_argument("--resolution", default=None, type=int,
+                        help="resolution at which to load the label")
+    parser.add_argument("--cluster", default=None, type=int)
+    parser.add_argument("--fps", default=30, type=int)
+    parser.add_argument("--max_frames", default=None, type=int)
+    args = parser.parse_args()
+
+    from gangealing_tpu.apps.common import load_stn
+    from gangealing_tpu.apps.mixed_reality import run_gangealing_on_video
+    from gangealing_tpu.data.prepare import load_video_frames
+
+    loaded = load_stn(args.ckpt, supersize=args.real_size,
+                      load_classifier=True)
+    params, cfg, cls_params, cls_cfg = loaded
+    classifier = (cls_params, cls_cfg) if cls_params is not None else None
+    frames = load_video_frames(args.video_path, max_frames=args.max_frames)
+    run_gangealing_on_video(
+        params, cfg, frames, label_path=args.label_path, sigma=args.sigma,
+        opacity=args.opacity, blend_alg=args.blend_alg, iters=args.iters,
+        padding_mode=args.padding_mode, batch=args.batch,
+        classifier=classifier, cluster=args.cluster,
+        no_flip_inference=args.no_flip_inference, out_dir=args.out,
+        fps=args.fps, objects=args.objects or args.label_path is not None,
+        save_correspondences=args.save_correspondences,
+        resolution=args.resolution)
+    print(f"Videos written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

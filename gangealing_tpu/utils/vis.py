@@ -183,3 +183,44 @@ def splat_points(images, points, sigma, opacity, colorscale="turbo",
     if blend_alg in BLEND_CONFIGS:
         return laplacian_blend(images, obj, mask, **BLEND_CONFIGS[blend_alg])
     raise NotImplementedError(blend_alg)
+
+
+def batch_overlay(images, points, radii=None, out_path=None,
+                  unique_color=False, size=10, normalize=True, opacity=1.0,
+                  colorscale="turbo", range=(-1, 1)):
+    """Overlay keypoint markers on images and save per-image PNGs
+    (helpers.py:197-283; matplotlib scatter instead of plotly).
+
+    images: (N, C, H, W); points: (N, P, 2) pixel xy. Returns a list of
+    (H', W', 3) uint8 arrays."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    images = np.asarray(images)
+    points = np.asarray(points)
+    N, C, H, W = images.shape
+    outs = []
+    if out_path is not None:
+        os.makedirs(out_path, exist_ok=True)
+    for i in np.arange(N):
+        img = images[i]
+        if normalize:
+            img = np.asarray(normalize_images(img[None], *range))[0]
+        fig, ax = plt.subplots(figsize=(W / 100, H / 100), dpi=100)
+        ax.imshow(img.transpose(1, 2, 0))
+        P = points.shape[1]
+        if unique_color:
+            cols = np.asarray(get_colors(P, colorscale))[0] * 0.5 + 0.5
+        else:
+            cols = "red"
+        ax.scatter(points[i, :, 0], points[i, :, 1], c=cols, s=size)
+        ax.set_axis_off()
+        ax.set_position((0, 0, 1, 1))
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        outs.append(buf)
+        if out_path is not None:
+            from PIL import Image
+            Image.fromarray(buf).save(os.path.join(out_path, f"{i:04d}.png"))
+    return outs
