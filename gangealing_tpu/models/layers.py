@@ -42,7 +42,7 @@ def pixel_norm(x, eps=1e-8):
 
 def conv2d(x, w, stride=1, padding=0, groups=1):
     return lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride),
+        x, w.astype(x.dtype), window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DN, feature_group_count=groups)
 

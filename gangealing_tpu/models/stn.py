@@ -44,6 +44,8 @@ class STNConfig:
     flow_downsample: int = 8
     antialias: bool = True
     max_channels: int = 512  # cap (tests use small values; checkpoints 512)
+    compute_dtype: str = "float32"  # 'bfloat16' runs the encoder on the MXU
+    # at 2x rate; warp-head outputs stay float32 either way.
 
     @property
     def is_flow(self):
@@ -331,14 +333,21 @@ def stn_init(key, cfg: STNConfig) -> Params:
 
 
 def stn_features(params: Params, cfg: STNConfig, img):
-    """Encoder: downsample to flow_size, conv stack, final head features."""
+    """Encoder: downsample to flow_size, conv stack, final head features.
+
+    With compute_dtype='bfloat16' the conv stack runs in bf16 (MXU 2x rate);
+    features are cast back to float32 before the warp head so the regressed
+    warps stay full precision."""
     if img.shape[-1] > cfg.flow_size:
         img = bilinear_downsample(img, img.shape[-1] // cfg.flow_size)
+    if cfg.compute_dtype == "bfloat16":
+        img = img.astype(jnp.bfloat16)
     _, blocks, _, ch4 = cfg.encoder_plan()
     out = conv_layer(params, "convs.0", img, 1)
     for bi, (_, _, down) in enumerate(blocks):
         out = res_block(params, f"convs.{bi + 1}", out, downsample=down)
     out = conv_layer(params, "final_conv", out, 3)
+    out = out.astype(jnp.float32)
     if not cfg.is_flow:
         out = out.reshape(out.shape[0], -1)
         out = equal_linear(params, "final_linear", out, activation=True)
@@ -540,6 +549,7 @@ class ComposedSTNConfig:
     flow_downsample: int = 8
     antialias: bool = True
     max_channels: int = 512
+    compute_dtype: str = "float32"
 
     def stn_cfg(self, transform: str) -> STNConfig:
         return STNConfig(transform=transform, flow_size=self.flow_size,
@@ -548,7 +558,8 @@ class ComposedSTNConfig:
                          num_heads=self.num_heads,
                          flow_downsample=self.flow_downsample,
                          antialias=self.antialias,
-                         max_channels=self.max_channels)
+                         max_channels=self.max_channels,
+                         compute_dtype=self.compute_dtype)
 
     @property
     def stn_cfgs(self):

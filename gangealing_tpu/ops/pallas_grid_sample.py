@@ -52,7 +52,7 @@ def _kernel(coords_ref, img_ref, out_ref, *, H, W, C, PB, compute_dtype):
                                              "point_block", "precision",
                                              "interpret"))
 def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
-                    point_block=256, precision="bf16", interpret=False):
+                    point_block=512, precision="bf16", interpret=False):
     """Drop-in grid_sample (bilinear) for (N, C, H, W) x (N, Ho, Wo, 2).
 
     precision: 'bf16' (MXU full rate, ~3 decimal digits on the H-stage) or
@@ -100,7 +100,7 @@ def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
     return out.astype(input.dtype)
 
 
-def mxu_kernel_fits(input, point_block=256):
+def mxu_kernel_fits(input, point_block=512):
     """VMEM feasibility check for the kernel's blocks."""
     N, C, H, W = input.shape
     img_bytes = H * C * W * 4
