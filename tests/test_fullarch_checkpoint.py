@@ -47,7 +47,12 @@ def test_fullarch_roundtrip(tmp_path, rng):
     assert loaded_cfg.flow_size == 128
     assert loaded_cfg.channel_multiplier == 0.5
 
-    x = jnp.asarray(rng.randn(1, 3, 256, 256).astype(np.float32))
+    # smooth synthetic image (different AA filters agree on smooth content)
+    yy, xx = np.meshgrid(np.linspace(0, 4 * np.pi, 256),
+                         np.linspace(0, 4 * np.pi, 256), indexing="ij")
+    img = np.stack([np.sin(xx) * np.cos(yy), np.sin(2 * xx),
+                    np.cos(3 * yy)]).astype(np.float32)
+    x = jnp.asarray(img[None])
     out, grid, fom, sim_out, _ = composed_stn_forward(loaded_params,
                                                       loaded_cfg, x)
     assert out.shape == (1, 3, 128, 128)
