@@ -128,3 +128,52 @@ def bucket_real_images_by_cluster(classifier_params, classifier_cfg, images,
         assignments.append(np.asarray(a))
     assignments = np.concatenate(assignments)
     return [np.where(assignments == k)[0] for k in range(num_heads)]
+
+
+def pad_grid(grid):
+    """Linearly extrapolate a sampling grid one pixel beyond each border
+    (vis_correspondence.py:59-76). (N, H, W, 2) -> (N, H+2, W+2, 2)."""
+    g = jnp.pad(grid, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    right = 2 * g[:, :, -2] - g[:, :, -3]
+    left = 2 * g[:, :, 1] - g[:, :, 2]
+    bottom = 2 * g[:, -2] - g[:, -3]
+    top = 2 * g[:, 1] - g[:, 2]
+    g = g.at[:, 0].set(top)
+    g = g.at[:, -1].set(bottom)
+    g = g.at[:, :, 0].set(left)
+    g = g.at[:, :, -1].set(right)
+    return g
+
+
+def nearest_neighbor_within_patch(grid, points, patch_centers, patch_size):
+    """For each point, find the grid location (within a patch_size window
+    around patch_centers) whose flow value is closest in L2
+    (vis_correspondence.py:80-114). Returns (N, P, 2) integer (x, y) coords
+    into the unpadded grid."""
+    N, H, W, _ = grid.shape
+    P = points.shape[1]
+    g = pad_grid(grid)  # (N, H+2, W+2, 2)
+    Hp, Wp = H + 2, W + 2
+    half = patch_size // 2
+    centers = patch_centers + 1  # account for padding; (N, P, 2) as (x, y)
+
+    # gather the patch around each center: offsets grid
+    dy = jnp.arange(-half, half + 1)
+    dx = jnp.arange(-half, half + 1)
+    oy, ox = jnp.meshgrid(dy, dx, indexing="ij")  # (ps, ps)
+    py = jnp.clip(centers[..., 1][:, :, None, None] + oy, 0, Hp - 1)
+    px = jnp.clip(centers[..., 0][:, :, None, None] + ox, 0, Wp - 1)
+    flat = (py * Wp + px).astype(jnp.int32)  # (N, P, ps, ps)
+    g_flat = g.reshape(N, Hp * Wp, 2)
+    patches = jnp.take_along_axis(
+        g_flat[:, :, None, :],
+        flat.reshape(N, -1)[:, :, None, None].repeat(2, 3), axis=1)
+    patches = patches[:, :, 0, :].reshape(N, P, patch_size, patch_size, 2)
+
+    d = jnp.sum((patches - points[:, :, None, None, :]) ** 2, axis=-1)
+    nn_idx = jnp.argmin(d.reshape(N, P, -1), axis=-1)  # (N, P)
+    ny = nn_idx // patch_size - half
+    nx = nn_idx % patch_size - half
+    out_x = centers[..., 0] + nx - 1  # remove padding
+    out_y = centers[..., 1] + ny - 1
+    return jnp.stack([out_x, out_y], axis=-1)
