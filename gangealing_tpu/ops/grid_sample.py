@@ -154,12 +154,12 @@ def grid_sample_auto(input, grid, mode="bilinear", padding_mode="border",
     if (mode == "bilinear" and not align_corners and P >= min_points_for_mxu
             and _default_backend_is_tpu()):
         from gangealing_tpu.ops.pallas_grid_sample import (
-            grid_sample_mxu, mxu_kernel_fits)
+            grid_sample_mxu_diff, mxu_kernel_fits)
         if mxu_kernel_fits(input):
             if precision is None:
                 precision = os.environ.get("GANGEALING_GS_PRECISION", "bf16")
-            return grid_sample_mxu(input, grid, padding_mode=padding_mode,
-                                   precision=precision)
+            return grid_sample_mxu_diff(input, grid, padding_mode,
+                                        align_corners, 512, precision, False)
     return grid_sample(input, grid, mode=mode, padding_mode=padding_mode,
                        align_corners=align_corners)
 

@@ -100,6 +100,45 @@ def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
     return out.astype(input.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def grid_sample_mxu_diff(input, grid, padding_mode="border",
+                         align_corners=False, point_block=512,
+                         precision="bf16", interpret=False):
+    """Differentiable wrapper: MXU kernel forward, XLA-transpose backward.
+
+    The backward pass re-expresses through the XLA gather formulation's VJP
+    (exact bilinear transpose: scatter-add for d/d input, tent-derivative
+    weights for d/d grid). A fused Pallas backward is a planned
+    optimization; gradients are correct either way.
+    """
+    return grid_sample_mxu(input, grid, padding_mode=padding_mode,
+                           align_corners=align_corners,
+                           point_block=point_block, precision=precision,
+                           interpret=interpret)
+
+
+def _gs_mxu_fwd(input, grid, padding_mode, align_corners, point_block,
+                precision, interpret):
+    out = grid_sample_mxu(input, grid, padding_mode=padding_mode,
+                          align_corners=align_corners,
+                          point_block=point_block, precision=precision,
+                          interpret=interpret)
+    return out, (input, grid)
+
+
+def _gs_mxu_bwd(padding_mode, align_corners, point_block, precision,
+                interpret, residuals, g):
+    from gangealing_tpu.ops.grid_sample import grid_sample
+    input, grid = residuals
+    _, vjp = jax.vjp(
+        lambda i, gr: grid_sample(i, gr, padding_mode=padding_mode,
+                                  align_corners=align_corners), input, grid)
+    return vjp(g)
+
+
+grid_sample_mxu_diff.defvjp(_gs_mxu_fwd, _gs_mxu_bwd)
+
+
 def mxu_kernel_fits(input, point_block=512):
     """VMEM feasibility check for the kernel's blocks."""
     N, C, H, W = input.shape
