@@ -41,3 +41,26 @@ def test_mxu_bf16_close(rng):
                           point_block=128, interpret=True)
     err = np.abs(np.asarray(out) - np.asarray(ref)).max()
     assert err < 0.05, err
+
+
+def test_mxu_diff_gradients_match_xla(rng):
+    """custom_vjp gradients through the kernel == XLA grid_sample grads."""
+    import jax
+    from gangealing_tpu.ops.pallas_grid_sample import grid_sample_mxu_diff
+
+    x = rng.randn(1, 2, 16, 16).astype(np.float32)
+    g = (rng.rand(1, 8, 8, 2).astype(np.float32) * 2 - 1)
+
+    def loss_mxu(xi, gi):
+        out = grid_sample_mxu_diff(jnp.asarray(xi), jnp.asarray(gi),
+                                   "border", False, 128, "f32", True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(xi, gi):
+        return jnp.sum(grid_sample(jnp.asarray(xi), jnp.asarray(gi)) ** 2)
+
+    gm = jax.grad(loss_mxu, argnums=(0, 1))(x, g)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, g)
+    for a, b in zip(gm, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-4)
