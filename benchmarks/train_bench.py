@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     from gangealing_tpu.models.stylegan2 import (
         GeneratorConfig, generator_init)
     from gangealing_tpu.models.stn import (
@@ -30,7 +31,8 @@ def main():
                               channel_multiplier=0.5)
     ll_cfg = LatentLearnerConfig(n_comps=1, inject_index=5,
                                  n_latent=g_cfg.n_latent)
-    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=batch)
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=batch,
+                      compute_dtype=dtype)
 
     print("init params ...", flush=True)
     g_params = generator_init(jax.random.PRNGKey(0), g_cfg)
@@ -38,8 +40,11 @@ def main():
     ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
     vgg = vgg16_init(jax.random.PRNGKey(3))
 
+    pdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
     def perceptual(p, x, y):
-        return lpips_distance(p, x, y, use_lins=False) / 18.0
+        return lpips_distance(p, x, y, use_lins=False,
+                              compute_dtype=pdtype) / 18.0
 
     state = init_train_state(t_params, ll_params)
     step = make_train_step(cfg, g_params, vgg, perceptual, donate=False)
@@ -75,8 +80,8 @@ def main():
 
     _ = one_step()
     dt = max(tmin(one_step) - oh, 1e-6)
-    print(f"train step: {dt * 1e3:.1f} ms -> {batch / dt:.1f} imgs/s "
-          f"(batch {batch})")
+    print(f"train step [{dtype}]: {dt * 1e3:.1f} ms -> {batch / dt:.1f} "
+          f"imgs/s (batch {batch})")
 
 
 if __name__ == "__main__":

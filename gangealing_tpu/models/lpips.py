@@ -120,19 +120,23 @@ def _normalize_tensor(feat, eps=1e-10):
     return feat / (norm + eps)
 
 
-def lpips_distance(params: Params, x, y, use_lins=True):
+def lpips_distance(params: Params, x, y, use_lins=True,
+                   compute_dtype=jnp.float32):
     """Per-sample perceptual distance, shape (N, 1, 1, 1).
 
     x, y in [-1, 1]. use_lins=True -> LPIPS calibration; False -> raw
-    sum-of-channels (the vgg_ssl baseline mode)."""
+    sum-of-channels (the vgg_ssl baseline mode). compute_dtype=bfloat16
+    runs the VGG trunk at MXU full rate (normalization/reduction in f32)."""
     shift = jnp.asarray(SCALING_SHIFT).reshape(1, 3, 1, 1)
     scale = jnp.asarray(SCALING_SCALE).reshape(1, 3, 1, 1)
-    xs = (x - shift) / scale
-    ys = (y - shift) / scale
+    xs = ((x - shift) / scale).astype(compute_dtype)
+    ys = ((y - shift) / scale).astype(compute_dtype)
     fx = vgg16_features(params, xs)
     fy = vgg16_features(params, ys)
     val = 0.0
     for i, (a, b) in enumerate(zip(fx, fy)):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
         d = (_normalize_tensor(a) - _normalize_tensor(b)) ** 2
         if use_lins:
             w = params[f"lin{i}.model.1.weight"]
@@ -146,13 +150,17 @@ def lpips_distance(params: Params, x, y, use_lins=True):
 @dataclass(frozen=True)
 class PerceptualLossConfig:
     kind: str = "vgg_ssl"  # 'vgg_ssl' | 'lpips'
+    compute_dtype: str = "float32"
 
 
 def make_perceptual_loss(cfg: PerceptualLossConfig):
     """Returns loss_fn(params, x, y) -> (N, 1, 1, 1), mirroring
     get_perceptual_loss (lpips.py:13-23)."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.kind == "vgg_ssl":
-        return lambda p, x, y: lpips_distance(p, x, y, use_lins=False) / 18.0
+        return lambda p, x, y: lpips_distance(p, x, y, use_lins=False,
+                                              compute_dtype=dtype) / 18.0
     if cfg.kind == "lpips":
-        return lambda p, x, y: lpips_distance(p, x, y, use_lins=True)
+        return lambda p, x, y: lpips_distance(p, x, y, use_lins=True,
+                                              compute_dtype=dtype)
     raise NotImplementedError(cfg.kind)

@@ -25,19 +25,23 @@ def resize_fake2stn(x, gen_size, flow_size):
 
 
 def sample_gan_supervised_pairs(g_params, g_cfg, ll_params, ll_cfg, key, psi,
-                                batch, flow_size, freeze_ll=False, z=None):
+                                batch, flow_size, freeze_ll=False, z=None,
+                                compute_dtype=None):
     """(unaligned, aligned_target) image pair from the frozen generator
     (loss.py:21-29). Gradients flow into ll through G unless freeze_ll."""
+    import jax.numpy as _jnp
+    cd = (_jnp.bfloat16 if compute_dtype == "bfloat16" else _jnp.float32)
     kz, k1, k2 = jax.random.split(key, 3)
     if z is None:
         z = jax.random.normal(kz, (batch, g_cfg.style_dim))
     unaligned, w = generator_apply(g_params, g_cfg, [z], key=k1,
-                                   return_latents=True)
+                                   return_latents=True, compute_dtype=cd)
     ll_p = jax.tree.map(jax.lax.stop_gradient, ll_params) if freeze_ll \
         else ll_params
     w_aligned = latent_learner_interpolate(ll_p, ll_cfg, w[:, 0, :], psi)
     aligned, _ = generator_apply(g_params, g_cfg, [w_aligned],
-                                 input_is_latent=True, key=k2)
+                                 input_is_latent=True, key=k2,
+                                 compute_dtype=cd)
     if freeze_ll:
         aligned = jax.lax.stop_gradient(aligned)
     aligned = resize_fake2stn(aligned, g_cfg.size, flow_size)
@@ -47,12 +51,12 @@ def sample_gan_supervised_pairs(g_params, g_cfg, ll_params, ll_cfg, key, psi,
 def gangealing_loss(g_params, g_cfg, t_params, t_cfg, ll_params, ll_cfg,
                     perceptual_fn: Callable, key, psi, batch,
                     freeze_ll=False, sample_from_full_res=False,
-                    padding_mode="border"):
+                    padding_mode="border", compute_dtype=None):
     """Unimodal reconstruction loss (loss.py:64-75).
     Returns (perceptual_loss_scalar, delta_flow)."""
     unaligned, target = sample_gan_supervised_pairs(
         g_params, g_cfg, ll_params, ll_cfg, key, psi, batch, t_cfg.flow_size,
-        freeze_ll=freeze_ll)
+        freeze_ll=freeze_ll, compute_dtype=compute_dtype)
     sampling_img = unaligned if sample_from_full_res else None
     resized = resize_fake2stn(unaligned, g_cfg.size, t_cfg.flow_size)
     pred, _, delta_flow, _, _ = composed_stn_forward(
@@ -67,13 +71,14 @@ def assign_fake_images_to_clusters(g_params, g_cfg, t_params, t_cfg,
                                    ll_params, ll_cfg, perceptual_fn, key, psi,
                                    batch, num_heads, flips,
                                    freeze_ll=False, sample_from_full_res=True,
-                                   padding_mode="border", z=None):
+                                   padding_mode="border", z=None,
+                                   compute_dtype=None):
     """Congeal fakes with every head (and flip), take min distance
     (loss.py:32-61). Returns (min_values, min_indices, aligned_pred,
     delta_flow, unaligned, resized_unaligned, distances)."""
     unaligned, target = sample_gan_supervised_pairs(
         g_params, g_cfg, ll_params, ll_cfg, key, psi, batch, t_cfg.flow_size,
-        freeze_ll=freeze_ll, z=z)
+        freeze_ll=freeze_ll, z=z, compute_dtype=compute_dtype)
     if flips:
         unaligned = jnp.concatenate([unaligned, jnp.flip(unaligned, 3)], 0)
         target = jnp.tile(target, (2, 1, 1, 1))
@@ -101,13 +106,14 @@ def assign_fake_images_to_clusters(g_params, g_cfg, t_params, t_cfg,
 def gangealing_cluster_loss(g_params, g_cfg, t_params, t_cfg, ll_params,
                             ll_cfg, perceptual_fn, key, psi, batch, num_heads,
                             flips, freeze_ll=False, sample_from_full_res=True,
-                            padding_mode="border"):
+                            padding_mode="border", compute_dtype=None):
     """Clustered loss: only the assigned head's residual flow is regularized
     (loss.py:78-92). Returns (loss, assigned_delta_flow)."""
     min_val, min_idx, _, delta_flow, _, _, _ = assign_fake_images_to_clusters(
         g_params, g_cfg, t_params, t_cfg, ll_params, ll_cfg, perceptual_fn,
         key, psi, batch, num_heads, flips, freeze_ll=freeze_ll,
-        sample_from_full_res=sample_from_full_res, padding_mode=padding_mode)
+        sample_from_full_res=sample_from_full_res, padding_mode=padding_mode,
+        compute_dtype=compute_dtype)
     loss = jnp.mean(min_val)
     HW2 = delta_flow.shape[1:]
     if flips:

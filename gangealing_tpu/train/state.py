@@ -49,6 +49,7 @@ class TrainConfig:
     decay: float = 0.9
     tm: int = 2
     iter: int = 800000
+    compute_dtype: str = "float32"  # 'bfloat16': frozen G + VGG at MXU rate
 
     @property
     def clustering(self) -> bool:
@@ -96,13 +97,15 @@ def make_train_step(cfg: TrainConfig, g_params, perceptual_params,
                 key, psi, z.shape[0], cfg.t.num_heads, cfg.flips,
                 freeze_ll=cfg.freeze_ll,
                 sample_from_full_res=cfg.sample_from_full_res,
-                padding_mode=cfg.padding_mode)
+                padding_mode=cfg.padding_mode,
+                compute_dtype=cfg.compute_dtype)
         else:
             ploss, delta_flow = gangealing_loss(
                 g_params, cfg.g, t_params, cfg.t, ll_params, cfg.ll, pfn,
                 key, psi, z.shape[0], freeze_ll=cfg.freeze_ll,
                 sample_from_full_res=cfg.sample_from_full_res,
-                padding_mode=cfg.padding_mode)
+                padding_mode=cfg.padding_mode,
+                compute_dtype=cfg.compute_dtype)
         tv = total_variation_loss(delta_flow) if cfg.tv_weight > 0 \
             else jnp.zeros(())
         fid = flow_identity_loss(delta_flow) if cfg.flow_identity_weight > 0 \
