@@ -52,7 +52,8 @@ def build_configs(args):
         sample_from_full_res=args.sample_from_full_res,
         padding_mode=args.padding_mode, loss_fn=args.loss_fn,
         anneal_psi=args.anneal_psi, anneal_fn=args.anneal_fn,
-        period=args.period, decay=args.decay, tm=args.tm, iter=args.iter)
+        period=args.period, decay=args.decay, tm=args.tm, iter=args.iter,
+        compute_dtype=args.compute_dtype)
     return cfg
 
 
@@ -70,7 +71,8 @@ def load_perceptual(args, key):
     else:
         print("WARNING: no --perceptual_weights given; using a random VGG "
               "(fine for smoke tests, not for real training)")
-    loss_cfg = PerceptualLossConfig(kind=args.loss_fn)
+    loss_cfg = PerceptualLossConfig(kind=args.loss_fn,
+                                    compute_dtype=args.compute_dtype)
     return params, make_perceptual_loss(loss_cfg)
 
 
