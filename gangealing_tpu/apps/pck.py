@@ -88,7 +88,7 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
                  num_pairs: Optional[int] = None, iters=1,
                  padding_mode="border", match_flows=True,
                  transfer_both_ways=True, permutation=None,
-                 batch_size=None, progress=False):
+                 batch_size=None, progress=False, mesh=None):
     """Run PCK-Transfer over ``loader`` (an iterator of dict batches).
     Returns an (A,) numpy array of PCK per alpha (applications/pck.py:104)."""
     batch_fn = None
@@ -135,7 +135,13 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
                 np.asarray(d["imgsB"], np.float32),
                 kpsA, kpsB, visible, thA, thB]
         args = [_pad_batch(a, batch_size) for a in args]
-        c, k = batch_fn(params, *args, jnp.asarray(valid))
+        valid = jnp.asarray(valid)
+        if mesh is not None:
+            # DP inference: shard every per-pair array over the data axis
+            from gangealing_tpu.parallel import shard_batch
+            args = [shard_batch(mesh, jnp.asarray(a)) for a in args]
+            valid = shard_batch(mesh, valid)
+        c, k = batch_fn(params, *args, valid)
         correct += np.asarray(c, np.float64)
         kps_seen += float(k)
         pairs_seen += n

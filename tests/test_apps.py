@@ -119,3 +119,18 @@ def test_congeal_dataset(img_lmdb, tmp_path):
     assert len(ds) == 10
     x = ds[0]
     assert x.shape == (3, S, S)
+
+
+def test_pck_sharded_over_mesh(pck_lmdb):
+    """PCK batches shard over the 8-device CPU mesh (DP inference)."""
+    import jax
+    from gangealing_tpu.apps.pck import pck_transfer
+    from gangealing_tpu.parallel import make_mesh
+    assert jax.device_count() == 8
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    dset = PCKDataset(pck_lmdb, resolution=S)
+    loader = DataLoader(dset, batch_size=8, shuffle=False, drop_last=False)
+    pck = pck_transfer(params, CFG, loader, alphas=(0.1,), num_pairs=4,
+                       match_flows=False, batch_size=8,
+                       mesh=make_mesh())
+    assert pck[0] > 0.95
