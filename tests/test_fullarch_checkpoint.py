@@ -69,3 +69,46 @@ def test_fullarch_roundtrip(tmp_path, rng):
     out3, _, _, _, _ = composed_stn_forward(loaded_params, loaded_cfg, x,
                                             iters=3)
     assert out3.shape == (1, 3, 128, 128)
+
+
+@pytest.mark.slow
+def test_generator_checkpoint_roundtrip(tmp_path):
+    """Full-layout (512-channel) generator: torch export -> import ->
+    identical forward."""
+    import torch
+    from gangealing_tpu.models.stylegan2 import (
+        GeneratorConfig, generator_init, generator_apply, make_noise)
+    from gangealing_tpu.io import (
+        load_torch_checkpoint)
+    from gangealing_tpu.io.torch_import import generator_config_from_args
+
+    cfg = GeneratorConfig(size=64)  # default 512-dim mapping + channel table
+    params = generator_init(jax.random.PRNGKey(0), cfg)
+    # expected reference key layout
+    assert params["style.1.weight"].shape == (512, 512)
+    assert f"style.{cfg.n_mlp}.weight" in params
+    assert params["conv1.conv.weight"].shape == (1, 512, 512, 3, 3)
+    assert params["to_rgb1.conv.weight"].shape == (1, 3, 512, 1, 1)
+    assert params["convs.0.conv.weight"].shape == (1, 512, 512, 3, 3)
+    n_blocks = cfg.log_size - 2
+    assert f"to_rgbs.{n_blocks - 1}.bias" in params
+    assert f"noises.noise_{cfg.num_layers - 1}" in params
+
+    pt = str(tmp_path / "g.pt")
+    import argparse
+    torch.save({
+        "g_ema": {k: torch.from_numpy(np.asarray(v))
+                  for k, v in params.items()},
+        "args": argparse.Namespace(gen_size=64, dim_latent=512, n_mlp=8,
+                                   gen_channel_multiplier=2, num_fp16_res=0),
+    }, pt)
+    ck = load_torch_checkpoint(pt)
+    cfg2 = generator_config_from_args(ck["args"])
+    assert cfg2.size == 64 and cfg2.n_latent == cfg.n_latent
+    p2 = {k: jnp.asarray(v) for k, v in ck["g_ema"].items()}
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 512))
+    noise = make_noise(jax.random.PRNGKey(2), cfg, 1)
+    a, _ = generator_apply(params, cfg, [z], noise=noise)
+    b, _ = generator_apply(p2, cfg2, [z], noise=noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
