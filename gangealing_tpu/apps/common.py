@@ -15,37 +15,28 @@ from gangealing_tpu.models.stn import (
 from gangealing_tpu.models.classifier import (
     ClassifierConfig, classifier_run_flip, classifier_run_flip_target)
 
-# Test-time hyperparameters for the published pretrained models
-# (utils/download.py:12-29).
-PRETRAINED_TEST_HYPERPARAMS = {
-    "bicycle": {"num_heads": 1, "flow_size": 128, "real_size": 256, "iters": 3,
-                "padding_mode": "border"},
-    "car": {"num_heads": 4, "flow_size": 128, "real_size": 256, "iters": 3,
-            "padding_mode": "border"},
-    "cat": {"num_heads": 1, "flow_size": 128, "real_size": 256, "iters": 3,
-            "padding_mode": "border"},
-    "cat_ssl_mix6": {"num_heads": 1, "flow_size": 128, "real_size": 256,
-                     "iters": 3, "padding_mode": "border"},
-    "celeba": {"num_heads": 1, "flow_size": 128, "real_size": 256, "iters": 1,
-               "padding_mode": "border"},
-    "cub": {"num_heads": 1, "flow_size": 128, "real_size": 256, "iters": 1,
-            "padding_mode": "border"},
-    "dog": {"num_heads": 1, "flow_size": 128, "real_size": 256, "iters": 3,
-            "padding_mode": "border"},
-    "horse": {"num_heads": 4, "flow_size": 128, "real_size": 256, "iters": 3,
-              "padding_mode": "border"},
-    "tvmonitor": {"num_heads": 1, "flow_size": 128, "real_size": 256,
-                  "iters": 3, "padding_mode": "border"},
-}
+from gangealing_tpu.utils.download import PRETRAINED_TEST_HYPERPARAMS  # noqa
 
 
-def load_stn(ckpt_path, supersize=256, load_classifier=False):
+def load_stn(ckpt_path, supersize=256, load_classifier=False, override=False):
     """Load a GANgealing checkpoint's t_ema (+classifier) into param dicts.
-    Returns (params, cfg[, classifier_params, classifier_cfg])."""
-    from gangealing_tpu.io import load_torch_checkpoint, stn_config_from_args
+    Returns (params, cfg[, classifier_params, classifier_cfg]).
 
-    ckpt = load_torch_checkpoint(ckpt_path)
+    When ``ckpt_path`` is a model-zoo name (e.g. 'cat'), the published
+    test-time hyperparameters are merged into the stored args unless
+    ``override`` (applications/__init__.py:36-39)."""
+    from gangealing_tpu.io import load_torch_checkpoint, stn_config_from_args
+    from gangealing_tpu.utils.download import find_model as zoo_find
+
+    name = ckpt_path
+    try:
+        resolved, is_zoo = zoo_find(ckpt_path)
+    except FileNotFoundError:
+        resolved, is_zoo = ckpt_path, False
+    ckpt = load_torch_checkpoint(resolved)
     args = ckpt.get("args", {})
+    if is_zoo and not override and name in PRETRAINED_TEST_HYPERPARAMS:
+        args = {**args, **PRETRAINED_TEST_HYPERPARAMS[name]}
     cfg = stn_config_from_args(args, supersize=supersize)
     params = {k: jnp.asarray(v) for k, v in ckpt["t_ema"].items()}
     if not load_classifier:

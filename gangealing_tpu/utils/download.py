@@ -15,7 +15,23 @@ VALID_MODELS = {"bicycle", "car", "cat", "cat_ssl_mix6", "celeba", "cub",
 # Published checkpoint base URL (reference download.py):
 MODEL_BASE_URL = "http://efrosgans.eecs.berkeeley.edu/gangealing/pretrained"
 
-from gangealing_tpu.apps.common import PRETRAINED_TEST_HYPERPARAMS  # noqa
+# Test-time hyperparameters for the published pretrained models
+# (reference utils/download.py:12-29).
+_LSUN = {"flow_size": 128, "real_size": 256, "iters": 3,
+         "padding_mode": "border"}
+_SINGLE = {"flow_size": 128, "real_size": 256, "iters": 1,
+           "padding_mode": "border"}
+PRETRAINED_TEST_HYPERPARAMS = {
+    "bicycle": {"num_heads": 1, **_LSUN},
+    "car": {"num_heads": 4, **_LSUN},
+    "cat": {"num_heads": 1, **_LSUN},
+    "cat_ssl_mix6": {"num_heads": 1, **_LSUN},
+    "celeba": {"num_heads": 1, **_SINGLE},
+    "cub": {"num_heads": 1, **_SINGLE},
+    "dog": {"num_heads": 1, **_LSUN},
+    "horse": {"num_heads": 4, **_LSUN},
+    "tvmonitor": {"num_heads": 1, **_LSUN},
+}
 
 
 def find_model(name_or_path):
