@@ -144,6 +144,8 @@ def _pallas_sample(coords, img_t, H, W, C, PB, compute_dtype, interpret):
             flops=2 * N * P_pad * H * C * W,
             bytes_accessed=N * (H * C * W * 4 + P_pad * (2 + C) * 4),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(coords, img_t)
 
@@ -185,6 +187,8 @@ def _sample_core_bwd(H, W, C, PB, interpret_precision, residuals, g):
             flops=2 * N * P_pad * H * C * W,
             bytes_accessed=N * (H * C * W * 4 + P_pad * (2 + C) * 4),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(coords, g)
     dcoords = pl.pallas_call(
@@ -206,6 +210,8 @@ def _sample_core_bwd(H, W, C, PB, interpret_precision, residuals, g):
             flops=4 * N * P_pad * H * C * W,
             bytes_accessed=N * (H * C * W * 4 + P_pad * (2 + C) * 4),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(coords, img_t, g)
     return dcoords, dimg

@@ -24,7 +24,7 @@ def test_mesh_and_shardings():
 
 def test_sharded_computation_matches_single_device():
     mesh = make_mesh()
-    x = jnp.arange(32.0).reshape(32, 4)
+    x = jnp.arange(128.0).reshape(32, 4)
 
     @jax.jit
     def f(x):
