@@ -21,3 +21,19 @@ def get_stn_config(transforms, **kwargs) -> ComposedSTNConfig:
     if isinstance(transforms, str):
         transforms = [transforms]
     return ComposedSTNConfig(transforms=tuple(transforms), **kwargs)
+
+
+def batched_forward(fn, inputs, batch_size, *args, **kwargs):
+    """Apply ``fn`` to ``inputs`` in chunks along the leading axis and
+    concatenate (reference models/__init__.py:27-33's memory-saving helper).
+    ``fn(chunk, *args, **kwargs)`` must return an array or tuple of arrays."""
+    import numpy as np
+
+    outs = []
+    n = inputs.shape[0]
+    for s in range(0, n, batch_size):
+        outs.append(fn(inputs[s:s + batch_size], *args, **kwargs))
+    if isinstance(outs[0], (tuple, list)):
+        return tuple(np.concatenate([np.asarray(o[i]) for o in outs])
+                     for i in range(len(outs[0])))
+    return np.concatenate([np.asarray(o) for o in outs])
