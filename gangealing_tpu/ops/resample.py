@@ -47,14 +47,57 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
                              pad[0], pad[1], pad[0], pad[1])
 
 
+def _separable_factors(kernel):
+    """If the (concrete) 2-D FIR kernel is rank-1, return exact 1-D factors
+    (kv, kh) with kv kh^T == kernel; else None. All the reference's blur
+    kernels (outer products of [1,3,3,1]) are rank-1, so the depthwise
+    filtering runs as two 1-D passes — half the VPU work, identical math."""
+    import numpy as np
+    try:
+        k = np.asarray(kernel)
+    except Exception:  # traced (non-concrete) kernel
+        return None
+    if k.ndim != 2 or min(k.shape) < 2:
+        return None
+    u, s, vt = np.linalg.svd(k.astype(np.float64))
+    if s[1] > 1e-12 * max(s[0], 1e-30):
+        return None
+    kv = (u[:, 0] * np.sqrt(s[0])).astype(np.float32)
+    kh = (vt[0] * np.sqrt(s[0])).astype(np.float32)
+    if kv.sum() < 0:  # fix sign so both factors are the positive blur taps
+        kv, kh = -kv, -kh
+    return kv, kh
+
+
 def upfirdn2d_general(x, kernel, up_x, up_y, down_x, down_y,
                       pad_x0, pad_x1, pad_y0, pad_y1):
     N, C, H, W = x.shape
-    kh, kw = kernel.shape
+    kh_, kw_ = kernel.shape
+
+    factors = _separable_factors(kernel)
+    if factors is not None:
+        kv, kh1 = factors
+        # vertical pass (y up/pad/down), then horizontal
+        kvf = jnp.flip(jnp.asarray(kv), 0).astype(x.dtype)
+        kvf = jnp.broadcast_to(kvf[None, None, :, None], (C, 1, kh_, 1))
+        out = lax.conv_general_dilated(
+            x, kvf, window_strides=(down_y, 1),
+            padding=((pad_y0, pad_y1 + up_y - 1), (0, 0)),
+            lhs_dilation=(up_y, 1), dimension_numbers=_DN,
+            feature_group_count=C)
+        khf = jnp.flip(jnp.asarray(kh1), 0).astype(x.dtype)
+        khf = jnp.broadcast_to(khf[None, None, None, :], (C, 1, 1, kw_))
+        out = lax.conv_general_dilated(
+            out, khf, window_strides=(1, down_x),
+            padding=((0, 0), (pad_x0, pad_x1 + up_x - 1)),
+            lhs_dilation=(1, up_x), dimension_numbers=_DN,
+            feature_group_count=C)
+        return out
+
     # Correlate with the flipped kernel == true convolution with the kernel,
     # matching the reference semantics (upfirdn2d.py:186).
     k = jnp.flip(kernel, (0, 1)).astype(x.dtype)
-    k = jnp.broadcast_to(k[None, None], (C, 1, kh, kw))
+    k = jnp.broadcast_to(k[None, None], (C, 1, kh_, kw_))
     # lhs_dilation zero-inserts BETWEEN samples; the reference also appends
     # (up - 1) trailing zeros, so fold those into the high-side padding.
     out = lax.conv_general_dilated(
