@@ -25,15 +25,21 @@ from gangealing_tpu.ops.resample import interpolate_bilinear, _DN
 
 
 def _gaussian_blur_2x(x):
-    """[1,3,3,1] outer-product blur, reflection pad 1, stride 2."""
+    """[1,3,3,1] outer-product blur, reflection pad 1, stride 2.
+    Separable: two 1-D depthwise passes (exact; half the VPU work)."""
     import numpy as np
     k1 = np.array([1.0, 3.0, 3.0, 1.0], dtype=np.float32)
-    k = np.outer(k1, k1)
-    k = jnp.asarray(k / k.sum())
+    k1 = k1 / np.sqrt((np.outer(k1, k1)).sum())  # so kv*kh == k/16 exactly
     N, C, H, W = x.shape
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
-    kk = jnp.broadcast_to(k[None, None].astype(x.dtype), (C, 1, 4, 4))
-    return lax.conv_general_dilated(xp, kk, window_strides=(2, 2),
+    kv = jnp.broadcast_to(jnp.asarray(k1).astype(x.dtype)[None, None, :, None],
+                          (C, 1, 4, 1))
+    kh = jnp.broadcast_to(jnp.asarray(k1).astype(x.dtype)[None, None, None, :],
+                          (C, 1, 1, 4))
+    out = lax.conv_general_dilated(xp, kv, window_strides=(2, 1),
+                                   padding="VALID", dimension_numbers=_DN,
+                                   feature_group_count=C)
+    return lax.conv_general_dilated(out, kh, window_strides=(1, 2),
                                     padding="VALID", dimension_numbers=_DN,
                                     feature_group_count=C)
 
