@@ -75,3 +75,71 @@ def import_torchvision_alexnet(state_dict) -> Params:
             out[f"net.slice_all.{parts[1]}.{parts[2]}"] = \
                 jnp.asarray(np.asarray(v, np.float32))
     return out
+
+
+# --- SqueezeNet 1.1 (lpips_backbones.py:6-54) -------------------------------
+# torchvision squeezenet1_1.features layout:
+#   0 conv(3,64,k3,s2) 1 relu 2 maxpool3s2 3 Fire 4 Fire 5 maxpool3s2
+#   6 Fire 7 Fire 8 maxpool3s2 9 Fire 10 Fire 11 Fire 12 Fire
+# LPIPS slices end after indices 1, 4, 7, 9, 10, 11, 12.
+
+_FIRE_CFG = {  # idx -> (in, squeeze, expand)
+    3: (64, 16, 64), 4: (128, 16, 64), 6: (128, 32, 128), 7: (256, 32, 128),
+    9: (256, 48, 192), 10: (384, 48, 192), 11: (384, 64, 256),
+    12: (512, 64, 256),
+}
+SQUEEZE_CHANNELS = [64, 128, 256, 384, 384, 512, 512]
+
+
+def _fire(params, prefix, x):
+    def c(name, x, padding=0):
+        w = params[f"{prefix}.{name}.weight"]
+        b = params[f"{prefix}.{name}.bias"]
+        return conv2d(x, w, padding=padding) + b.reshape(1, -1, 1, 1)
+
+    s = jax.nn.relu(c("squeeze", x))
+    e1 = jax.nn.relu(c("expand1x1", s))
+    e3 = jax.nn.relu(c("expand3x3", s, padding=1))
+    return jnp.concatenate([e1, e3], axis=1)
+
+
+def squeezenet_features(params: Params, x, prefix="net"):
+    """Returns the 7 LPIPS slices of torchvision SqueezeNet 1.1 features."""
+    def conv0(x):
+        w = params[f"{prefix}.slice_all.0.weight"]
+        b = params[f"{prefix}.slice_all.0.bias"]
+        return conv2d(x, w, stride=2) + b.reshape(1, -1, 1, 1)
+
+    outs = []
+    h = jax.nn.relu(conv0(x))
+    outs.append(h)                                   # relu1 (idx 1)
+    h = _maxpool(h)
+    h = _fire(params, f"{prefix}.slice_all.3", h)
+    h = _fire(params, f"{prefix}.slice_all.4", h)
+    outs.append(h)                                   # relu2 (idx 4)
+    h = _maxpool(h)
+    h = _fire(params, f"{prefix}.slice_all.6", h)
+    h = _fire(params, f"{prefix}.slice_all.7", h)
+    outs.append(h)                                   # relu3 (idx 7)
+    h = _maxpool(h)
+    h = _fire(params, f"{prefix}.slice_all.9", h)
+    outs.append(h)                                   # relu4 (idx 9)
+    h = _fire(params, f"{prefix}.slice_all.10", h)
+    outs.append(h)                                   # relu5 (idx 10)
+    h = _fire(params, f"{prefix}.slice_all.11", h)
+    outs.append(h)                                   # relu6 (idx 11)
+    h = _fire(params, f"{prefix}.slice_all.12", h)
+    outs.append(h)                                   # relu7 (idx 12)
+    return outs
+
+
+def import_torchvision_squeezenet(state_dict) -> Params:
+    out: Params = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        parts = k.split(".")
+        if parts[0] == "features":
+            out["net.slice_all." + ".".join(parts[1:])] = \
+                jnp.asarray(np.asarray(v, np.float32))
+    return out
