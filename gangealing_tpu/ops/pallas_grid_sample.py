@@ -257,8 +257,12 @@ grid_sample_mxu_diff = functools.partial(grid_sample_mxu)
 
 
 def mxu_kernel_fits(input, point_block=512):
-    """VMEM feasibility check for the kernel's blocks."""
+    """Feasibility check: VMEM budget for the kernel's blocks, plus Mosaic
+    layout constraints (the (PB, C*W) -> (PB, C, W) shape cast requires the
+    lane dimension W to be a multiple of 128)."""
     N, C, H, W = input.shape
+    if W % 128 != 0 or H % 8 != 0:
+        return False
     img_bytes = H * C * W * 4
     rows_bytes = point_block * C * W * 4
     return img_bytes + rows_bytes + point_block * (H + W) * 8 < 12 * 2 ** 20
