@@ -64,3 +64,17 @@ def test_mxu_diff_gradients_match_xla(rng):
     for a, b in zip(gm, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    rtol=1e-4)
+
+
+def test_mxu_kernel_gating():
+    """Misaligned shapes must not claim kernel support (Mosaic shape-cast
+    requires lane-dim W % 128 == 0)."""
+    import jax.numpy as jnp
+    from gangealing_tpu.ops.pallas_grid_sample import mxu_kernel_fits
+
+    assert mxu_kernel_fits(jnp.zeros((1, 12, 256, 256)))
+    assert mxu_kernel_fits(jnp.zeros((1, 12, 128, 128)))
+    assert not mxu_kernel_fits(jnp.zeros((1, 12, 64, 64)))
+    assert not mxu_kernel_fits(jnp.zeros((1, 12, 256, 192)))
+    # VMEM-too-big case
+    assert not mxu_kernel_fits(jnp.zeros((1, 64, 1024, 1024)))
