@@ -1,4 +1,10 @@
-"""Mini end-to-end training demo: verify the GANgealing loss decreases.
+"""Mini end-to-end training demo: verify training mechanics on-chip.
+
+Note: with a RANDOM generator the samples carry no alignable structure, so
+the perceptual loss only drifts down slightly; real descent needs a trained
+StyleGAN2 checkpoint (see cli/train.py). With anneal_psi > 0 the loss first
+RISES as psi->0 makes the task harder — that is the expected GANgealing
+schedule (reference train.py:91-96).
 
 Small G + STN + random-VGG perceptual on one chip; prints the loss curve.
 """
@@ -28,7 +34,8 @@ t_cfg = ComposedSTNConfig(flow_size=128, supersize=128,
                           channel_multiplier=0.25, max_channels=128)
 ll_cfg = LatentLearnerConfig(n_comps=4, inject_index=4,
                              n_latent=g_cfg.n_latent, style_dim=128)
-cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=32, anneal_psi=150,
+ANNEAL = int(sys.argv[2]) if len(sys.argv) > 2 else 150
+cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=32, anneal_psi=ANNEAL,
                   period=100, tv_weight=1000.0, flow_identity_weight=1.0,
                   loss_fn="vgg_ssl", compute_dtype="bfloat16")
 
