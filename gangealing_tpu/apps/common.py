@@ -5,10 +5,7 @@ determine_flips) and utils/download.py:10-29 (model zoo test-time
 hyperparameters).
 """
 
-from typing import Optional
-
 import jax.numpy as jnp
-import numpy as np
 
 from gangealing_tpu.models.stn import (
     ComposedSTNConfig, composed_forward_with_flip)

@@ -22,7 +22,7 @@ from gangealing_tpu.models.stn import (
 from gangealing_tpu.apps.common import determine_flips
 from gangealing_tpu.apps.flow_scores import filter_dataset
 from gangealing_tpu.data.prepare import border_pad, create_dataset
-from gangealing_tpu.data.dataset import MultiResolutionDataset, Subset
+from gangealing_tpu.data.dataset import MultiResolutionDataset
 
 
 def make_congeal_fn(cfg: ComposedSTNConfig, sample_res: int,

@@ -10,7 +10,6 @@ single controller.
 
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,7 +18,6 @@ from gangealing_tpu.models.stn import (
 from gangealing_tpu.apps.common import determine_flips
 from gangealing_tpu.data.prepare import nchw_center_crop
 from gangealing_tpu.utils.vis import splat_points, save_video, load_dense_label
-from gangealing_tpu.utils.laplacian import BLEND_CONFIGS
 
 
 def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,

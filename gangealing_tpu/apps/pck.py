@@ -13,7 +13,6 @@ padded to a static size so a single executable serves the whole run; the
 final reduction is a couple of scalars on host.
 """
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -22,7 +21,7 @@ import numpy as np
 
 from gangealing_tpu.models.stn import (
     ComposedSTNConfig, composed_match_flows, composed_transfer_points)
-from gangealing_tpu.data.dataset import pck_dataloader, PCKDataset, DataLoader
+from gangealing_tpu.data.dataset import PCKDataset, DataLoader
 
 
 def make_pck_batch_fn(cfg: ComposedSTNConfig, alphas: Sequence[float],

@@ -6,9 +6,6 @@ correspondence / edit propagation videos, per-cluster bucketing of real
 images, and average-image videos.
 """
 
-import os
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

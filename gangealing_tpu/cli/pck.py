@@ -19,7 +19,7 @@ def main():
     parser.add_argument("--out", default="visuals", type=str)
     args = parser.parse_args()
 
-    from gangealing_tpu.apps.common import load_stn, PRETRAINED_TEST_HYPERPARAMS
+    from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps.pck import pck_transfer
     from gangealing_tpu.data.dataset import PCKDataset, DataLoader
 

@@ -6,10 +6,7 @@ go straight through the dataset builder pad modes into our LMDB writer.
 """
 
 import argparse
-import io
 import os
-
-import numpy as np
 
 
 def main():

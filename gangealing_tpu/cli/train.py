@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gangealing_tpu.cli.args import base_training_argparse
-from gangealing_tpu.models.stylegan2 import GeneratorConfig, generator_init
+from gangealing_tpu.models.stylegan2 import GeneratorConfig
 from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_init
 from gangealing_tpu.models.latent_learner import (
     LatentLearnerConfig, latent_learner_init)

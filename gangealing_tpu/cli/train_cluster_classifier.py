@@ -21,7 +21,7 @@ def main():
         ClassifierConfig, classifier_init)
     from gangealing_tpu.train.classifier_train import (
         warm_start_from_stn, train_cluster_classifier)
-    from gangealing_tpu.train.checkpoint import find_model, export_torch
+    from gangealing_tpu.train.checkpoint import find_model
     from gangealing_tpu.train.visuals import GANgealingWriter
 
     cfg = build_configs(args)

@@ -12,7 +12,7 @@ indices replicates DistributedSampler's rank striding.
 
 import io
 import os
-from typing import Iterator, Optional, Sequence
+from typing import Iterator
 
 import numpy as np
 

@@ -18,7 +18,7 @@ import ctypes
 import os
 import struct
 import subprocess
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 MDB_MAGIC = 0xBEEFC0DE
 MDB_VERSION = 1

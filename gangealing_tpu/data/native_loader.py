@@ -11,7 +11,7 @@ Falls back to the pure-Python DataLoader when no compiler is available.
 import ctypes
 import os
 import subprocess
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -13,7 +13,6 @@ import io
 import json
 import os
 from glob import glob
-from typing import List, Optional, Tuple
 
 import numpy as np
 

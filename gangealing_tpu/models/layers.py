@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from gangealing_tpu.ops.resample import (
-    blur, fused_leaky_relu, upsample2x, make_kernel, _DN)
+    blur, fused_leaky_relu, upsample2x, _DN)
 
 Params = Dict[str, jnp.ndarray]
 

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from gangealing_tpu.models.layers import Params, conv2d
-from gangealing_tpu.models.lpips import _maxpool2x
 
 ALEX_CHANNELS = [64, 192, 384, 256, 256]
 SQUEEZE_CHANNELS = [64, 128, 256, 384, 384, 512, 512]

@@ -15,8 +15,8 @@ single XLA program.
 """
 
 import math
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ gather; f32 mode is exact (7e-7), bf16 mode ~1e-2 on N(0,1) images.
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -253,7 +252,7 @@ def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
 
 
 # Backward-compat alias (the VJP is now built in).
-grid_sample_mxu_diff = functools.partial(grid_sample_mxu)
+grid_sample_mxu_diff = grid_sample_mxu
 
 
 def mxu_kernel_fits(input, point_block=512):

@@ -19,9 +19,6 @@ These are the JAX/XLA equivalents of the reference's CUDA ops:
     resizing (warping_heads.py:249-251). Separable weighted gathers.
 """
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

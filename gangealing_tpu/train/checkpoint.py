@@ -8,11 +8,8 @@ start-iteration parsing).
 """
 
 import os
-import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -14,8 +14,7 @@ import numpy as np
 import optax
 
 from gangealing_tpu.models.classifier import (
-    ClassifierConfig, classifier_init, classifier_forward,
-    reverse_topk_accuracy)
+    ClassifierConfig, classifier_forward, reverse_topk_accuracy)
 from gangealing_tpu.train.losses import assign_fake_images_to_clusters
 from gangealing_tpu.train.state import TrainConfig, adam
 from gangealing_tpu.train.annealing import decaying_cosine_warm_restarts

@@ -13,7 +13,7 @@ over the data mesh each iteration.
 import json
 import os
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +23,7 @@ from gangealing_tpu.train.state import (
     TrainConfig, init_train_state, make_train_step)
 from gangealing_tpu.train.annealing import (
     psi_at_iter, lr_at_iter, lr_cycle_iters)
-from gangealing_tpu.train.checkpoint import (
-    save_native, export_torch, parse_start_iter)
+from gangealing_tpu.train.checkpoint import save_native, export_torch
 from gangealing_tpu.train.visuals import (
     GANgealingWriter, create_training_visuals,
     create_training_cluster_visuals)

@@ -15,7 +15,6 @@ from gangealing_tpu.models.stylegan2 import generator_apply
 from gangealing_tpu.models.latent_learner import latent_learner_interpolate
 from gangealing_tpu.models.stn import composed_stn_forward
 from gangealing_tpu.ops.resample import bilinear_downsample
-from gangealing_tpu.ops.flow import total_variation_loss, flow_identity_loss
 
 
 def resize_fake2stn(x, gen_size, flow_size):

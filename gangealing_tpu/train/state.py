@@ -11,8 +11,7 @@ psums automatically — this *is* DDP, minus the wrapper.
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ results directory, later animatable to mp4 (animate_visuals below).
 """
 
 import json
-import math
 import os
 from glob import glob
 

@@ -10,7 +10,6 @@ ffmpeg binary in this environment).
 
 import math
 import os
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
