@@ -787,7 +787,7 @@ def composed_propagate_object(params: Params, cfg: ComposedSTNConfig,
     replaced by masking — out-of-bounds points are dropped inside splat2d
     already, so no data-dependent shapes arise.
     """
-    from gangealing_tpu.ops.splat import splat2d
+    from gangealing_tpu.ops.splat import splat2d_auto as splat2d
 
     N = target_image.shape[0]
     supersize = target_image.shape[-1]

@@ -14,7 +14,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from gangealing_tpu.ops.splat import splat2d
+from gangealing_tpu.ops.splat import splat2d_auto
 from gangealing_tpu.utils.laplacian import laplacian_blend, BLEND_CONFIGS
 
 CLUSTER_COLORSCALES = ["plasma", "plotly3", "viridis", "cividis"]
@@ -173,10 +173,10 @@ def splat_points(images, points, sigma, opacity, colorscale="turbo",
     blank_img = jnp.zeros_like(images)
     blank_mask = jnp.zeros((N, 1, images.shape[2], images.shape[3]),
                            images.dtype)
-    obj = splat2d(blank_img, points, colors, sigma_arr, False,
-                  max_sigma=max_sigma)
-    mask = splat2d(blank_mask, points, alpha_channel, sigma_arr, True,
-                   max_sigma=max_sigma) * opacity
+    obj = splat2d_auto(blank_img, points, colors, sigma_arr, False,
+                       max_sigma=max_sigma)
+    mask = splat2d_auto(blank_mask, points, alpha_channel, sigma_arr, True,
+                        max_sigma=max_sigma) * opacity
     if blend_alg == "alpha":
         return mask * obj + (1 - mask) * images
     if blend_alg in BLEND_CONFIGS:

@@ -59,3 +59,30 @@ def test_splat_nonblank_canvas(rng):
                    jnp.asarray(sigma), max_sigma=1.5)
     golden = _numpy_splat(inp, coords, values, sigma, False)
     np.testing.assert_allclose(np.asarray(ours), golden, atol=1e-4, rtol=1e-4)
+
+
+def test_splat_mxu_matches_spec(rng):
+    """MXU splat (interpret mode) vs the numpy spec."""
+    from gangealing_tpu.ops import splat as splat_mod
+    import functools
+    from jax.experimental import pallas as pl
+
+    # patch pallas_call to interpret mode on CPU
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        N, C, H, W, P = 2, 3, 24, 128, 40
+        inp = np.zeros((N, C, H, W), np.float32)
+        coords = (rng.rand(N, P, 2).astype(np.float32)
+                  * np.array([W + 6, H + 6], np.float32) - 3)
+        values = rng.randn(N, P, C).astype(np.float32)
+        sigma = np.array([1.3, 2.1], np.float32)
+        for soft in (False, True):
+            ours = splat_mod.splat2d_mxu(
+                jnp.asarray(inp), jnp.asarray(coords), jnp.asarray(values),
+                jnp.asarray(sigma), soft_normalize=soft, point_block=128)
+            golden = _numpy_splat(inp, coords, values, sigma, soft)
+            np.testing.assert_allclose(np.asarray(ours), golden, atol=2e-2,
+                                       rtol=2e-2)  # bf16 matmul accumulation
+    finally:
+        pl.pallas_call = orig
