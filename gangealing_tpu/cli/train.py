@@ -102,15 +102,26 @@ def main():
     start_iter = 0
     resume_state = None
     if not args.load_G_only and "t" in ckpt:
-        print("Resuming STN/ll weights from checkpoint "
-              "(optimizer state resets; use native checkpoints for exact "
-              "resume)")
+        print("Resuming STN/ll weights from checkpoint")
         t_params = {k: jnp.asarray(v) for k, v in ckpt["t"].items()}
         ll_params = {k: jnp.asarray(v) for k, v in ckpt["ll"].items()}
         if "t_ema" in ckpt:
             resume_state = init_train_state(t_params, ll_params)
             resume_state["t_ema"] = {k: jnp.asarray(v)
                                      for k, v in ckpt["t_ema"].items()}
+            raw = ckpt.get("_raw", {})
+            if "t_optim" in raw:
+                from gangealing_tpu.io.torch_import import (
+                    import_torch_adam_state)
+                try:
+                    resume_state["t_opt"] = import_torch_adam_state(
+                        raw["t_optim"], t_params)
+                    resume_state["ll_opt"] = import_torch_adam_state(
+                        raw["ll_optim"], ll_params)
+                    print("Imported torch Adam optimizer state (exact resume)")
+                except (ValueError, KeyError) as e:
+                    print(f"Could not import optimizer state ({e}); "
+                          f"optimizer resets")
         start_iter = parse_start_iter(ckpt_path)
     else:
         print("Only G_EMA loaded; running PCA/kmeans++ cold start")

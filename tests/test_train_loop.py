@@ -100,3 +100,58 @@ def test_kmeans_plusplus_tiny():
 
 def _l2_wrap(x, y):
     return jnp.mean((x - y) ** 2, axis=(1, 2, 3), keepdims=True)
+
+
+def test_torch_adam_state_import():
+    """torch Adam state_dict -> optax ScaleByAdamState with correct mapping
+    (shape-checked against the model's parameters()-order key list)."""
+    import torch
+    from gangealing_tpu.io.torch_import import (
+        import_torch_adam_state, learnable_key_order)
+    from gangealing_tpu.train.state import adam
+
+    t_params = composed_stn_init(jax.random.PRNGKey(1), T_CFG)
+    order = learnable_key_order(t_params)
+    assert len(order) == len(t_params)  # STN has no buffer keys
+
+    # synthesize a torch-format optimizer state: moment i filled with i+1
+    state = {}
+    for i, k in enumerate(order):
+        shape = tuple(np.asarray(t_params[k]).shape)
+        state[i] = {"step": torch.tensor(123.0),
+                    "exp_avg": torch.full(shape, float(i + 1)),
+                    "exp_avg_sq": torch.full(shape, float(i + 1) ** 2)}
+    tstate = {"state": state,
+              "param_groups": [{"params": list(range(len(order)))}]}
+    imported = import_torch_adam_state(tstate, t_params)
+    assert int(imported.count) == 123
+    for i, k in enumerate(order):
+        np.testing.assert_allclose(np.asarray(imported.mu[k]), i + 1)
+        np.testing.assert_allclose(np.asarray(imported.nu[k]), (i + 1) ** 2)
+
+    # it must be consumable by our optimizer as-is
+    opt = adam()
+    grads = jax.tree.map(jnp.ones_like, t_params)
+    updates, _ = opt.update(grads, imported, t_params)
+    assert np.isfinite(float(jnp.asarray(
+        updates["stns.0.warp_head.linear.bias"]).sum()))
+
+    # mismatched param count must fail loudly (never silently misalign)
+    bad = {"state": state, "param_groups": [{"params": [0, 1]}]}
+    with pytest.raises(ValueError):
+        import_torch_adam_state(bad, t_params)
+
+
+def test_adam_state_import_shape_guard():
+    """A permuted mapping with unique shapes must raise, not misassign."""
+    import torch
+    from gangealing_tpu.io.torch_import import import_torch_adam_state
+    params = {"a.weight": jnp.zeros((2, 3)), "b.weight": jnp.zeros((4, 5))}
+    state = {0: {"step": 1, "exp_avg": torch.zeros(4, 5),
+                 "exp_avg_sq": torch.zeros(4, 5)},
+             1: {"step": 1, "exp_avg": torch.zeros(2, 3),
+                 "exp_avg_sq": torch.zeros(2, 3)}}
+    with pytest.raises(ValueError):
+        import_torch_adam_state({"state": state,
+                                 "param_groups": [{"params": [0, 1]}]},
+                                params)
