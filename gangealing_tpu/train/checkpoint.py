@@ -37,10 +37,32 @@ def load_native(path: str, abstract_payload=None) -> Dict[str, Any]:
     return ckptr.restore(os.path.abspath(path))
 
 
-def export_torch(path: str, state: Dict[str, Any], g_params, args=None):
-    """Write a reference-schema .pt checkpoint (model weights only; optimizer
-    state is saved natively by save_native). Loadable by the reference code
-    and by our importer."""
+def _export_adam_state(opt_state, params):
+    """optax ScaleByAdamState -> torch.optim.Adam.state_dict() schema,
+    using the parameters()-order key mapping (io/torch_import.py)."""
+    import torch
+    from gangealing_tpu.io.torch_import import learnable_key_order
+    order = learnable_key_order(params)
+    count = int(np.asarray(opt_state.count))
+    state = {}
+    for i, k in enumerate(order):
+        state[i] = {
+            "step": torch.tensor(float(count)),
+            "exp_avg": torch.from_numpy(np.asarray(opt_state.mu[k])),
+            "exp_avg_sq": torch.from_numpy(np.asarray(opt_state.nu[k])),
+        }
+    return {"state": state, "param_groups": [{
+        "lr": 0.0, "betas": (0.9, 0.999), "eps": 1e-8, "weight_decay": 0,
+        "amsgrad": False, "params": list(range(len(order)))}]}
+
+
+def export_torch(path: str, state: Dict[str, Any], g_params, args=None,
+                 include_optimizers: bool = True):
+    """Write a reference-schema .pt checkpoint (train.py:22-28). Loadable by
+    the reference code and by our importer; Adam moments are converted to
+    the torch schema so resume is exact in either framework. The LR
+    scheduler needs no state (ours is a pure function of the iteration,
+    which resume recovers from the checkpoint filename)."""
     import torch
 
     def to_t(tree):
@@ -52,6 +74,13 @@ def export_torch(path: str, state: Dict[str, Any], g_params, args=None):
         "t_ema": to_t(state["t_ema"]),
         "ll": to_t(state["ll"]),
     }
+    if include_optimizers and "t_opt" in state:
+        try:
+            ckpt["t_optim"] = _export_adam_state(state["t_opt"], state["t"])
+            ckpt["ll_optim"] = _export_adam_state(state["ll_opt"],
+                                                  state["ll"])
+        except Exception:
+            pass  # moments are optional; weights alone still resume
     if args is not None:
         import argparse
         ns = argparse.Namespace(**args) if isinstance(args, dict) else args

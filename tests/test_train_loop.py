@@ -155,3 +155,38 @@ def test_adam_state_import_shape_guard():
         import_torch_adam_state({"state": state,
                                  "param_groups": [{"params": [0, 1]}]},
                                 params)
+
+
+def test_optimizer_roundtrip_through_torch_export(tmp_path):
+    """Train 2 steps -> export torch ckpt with Adam moments -> re-import ->
+    moments identical."""
+    from gangealing_tpu.train.state import make_train_step
+    from gangealing_tpu.train.checkpoint import export_torch
+    from gangealing_tpu.io import load_torch_checkpoint
+    from gangealing_tpu.io.torch_import import import_torch_adam_state
+
+    cfg = TrainConfig(g=G_CFG, t=T_CFG, ll=LL_CFG, batch=4, iter=2,
+                      anneal_psi=1, period=1)
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), T_CFG)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), LL_CFG)
+    state = init_train_state(t_params, ll_params)
+    step = make_train_step(cfg, g_params, None, _l2, donate=False)
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32))
+    for i in range(2):
+        state, _ = step(state, z, jax.random.PRNGKey(4 + i),
+                        jnp.float32(0.5), jnp.float32(1e-3), jnp.float32(1e-2))
+
+    host = jax.tree.map(np.asarray, state)
+    pt = str(tmp_path / "0000002.pt")
+    export_torch(pt, host, jax.tree.map(np.asarray, g_params))
+    back = load_torch_checkpoint(pt)
+    assert "t_optim" in back["_raw"]
+    re_t = import_torch_adam_state(back["_raw"]["t_optim"],
+                                   back["t"])
+    assert int(re_t.count) == 2
+    k = "stns.0.warp_head.linear.bias"
+    np.testing.assert_allclose(np.asarray(re_t.mu[k]),
+                               np.asarray(host["t_opt"].mu[k]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(re_t.nu[k]),
+                               np.asarray(host["t_opt"].nu[k]), atol=1e-7)
