@@ -56,8 +56,37 @@ def _export_adam_state(opt_state, params):
         "amsgrad": False, "params": list(range(len(order)))}]}
 
 
+def _export_sched_state(base_lr, iteration, anneal_psi, period, tm, decay):
+    """State dict of the reference's DecayingCosineAnnealingWarmRestarts
+    (utils/annealing.py:50-148) at a given training iteration, so our torch
+    exports restore cleanly in the reference's resume path."""
+    import math
+    epoch = max(0.0, (iteration - anneal_psi) / period)
+    t_0 = 1
+    if epoch >= t_0:
+        if tm == 1:
+            t_cur = epoch % t_0
+            n = int(epoch // t_0)
+            t_i = t_0
+        else:
+            n = int(math.log(epoch / t_0 * (tm - 1) + 1, tm))
+            t_cur = epoch - t_0 * (tm ** n - 1) / (tm - 1)
+            t_i = t_0 * tm ** n
+    else:
+        t_i, t_cur, n = t_0, epoch, 0
+    cur_decay = decay ** n
+    lr = cur_decay * base_lr * (1 + math.cos(math.pi * t_cur / t_i)) / 2 \
+        if iteration > anneal_psi else base_lr
+    return {"T_0": t_0, "T_i": t_i, "T_mult": tm, "eta_min": 0,
+            "decay": decay, "cur_decay": cur_decay, "base_lrs": [base_lr],
+            "last_epoch": math.floor(epoch), "T_cur": t_cur,
+            "_step_count": int(iteration), "_last_lr": [lr],
+            "_get_lr_called_within_step": False}
+
+
 def export_torch(path: str, state: Dict[str, Any], g_params, args=None,
-                 include_optimizers: bool = True):
+                 include_optimizers: bool = True, train_cfg=None,
+                 iteration: int = 0):
     """Write a reference-schema .pt checkpoint (train.py:22-28). Loadable by
     the reference code and by our importer; Adam moments are converted to
     the torch schema so resume is exact in either framework. The LR
@@ -81,6 +110,13 @@ def export_torch(path: str, state: Dict[str, Any], g_params, args=None,
                                                   state["ll"])
         except Exception:
             pass  # moments are optional; weights alone still resume
+    if train_cfg is not None:
+        ckpt["t_sched"] = _export_sched_state(
+            train_cfg.stn_lr, iteration, train_cfg.anneal_psi,
+            train_cfg.period, train_cfg.tm, train_cfg.decay)
+        ckpt["ll_sched"] = _export_sched_state(
+            train_cfg.ll_lr, iteration, train_cfg.anneal_psi,
+            train_cfg.period, train_cfg.tm, train_cfg.decay)
     if args is not None:
         import argparse
         ns = argparse.Namespace(**args) if isinstance(args, dict) else args

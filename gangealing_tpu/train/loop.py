@@ -128,7 +128,8 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
                     args={k: str(v) for k, v in cfg.__dict__.items()})
         if export_torch_ckpts:
             export_torch(os.path.join(ckpt_dir, f"{name}.pt"), host_state,
-                         jax.tree.map(np.asarray, g_params))
+                         jax.tree.map(np.asarray, g_params),
+                         train_cfg=cfg, iteration=i)
 
     if vis_every > 0:
         maybe_vis(start_iter, 1.0 if cfg.anneal_psi > 0 else 0.0)
