@@ -77,9 +77,13 @@ def lr_at_iter(i, base_lr, anneal_psi, period, t_mult=2, decay=0.9):
 
 def lr_cycle_iters(anneal_psi, period, total_iter, tm):
     """Iterations at which the LR hits zero (checkpointing points,
-    annealing.py:40-47)."""
+    annealing.py:40-47). Degenerate configs (run shorter than one cycle)
+    yield just the end-of-annealing point."""
     zero_lr_iters = [anneal_psi - 1]
-    num_cycles = int(math.log((total_iter - anneal_psi) / period, tm))
+    remaining = total_iter - anneal_psi
+    if remaining < period or remaining <= 0 or tm <= 1:
+        return zero_lr_iters
+    num_cycles = int(math.log(remaining / period, tm))
     for n in range(num_cycles):
         step = zero_lr_iters[-1] + period * tm ** n
         zero_lr_iters.append(int(step))
