@@ -147,8 +147,9 @@ struct Loader {
   uint64_t seed = 0;
 
   std::vector<int64_t> order;
-  std::atomic<size_t> cursor{0};
-  std::atomic<uint64_t> next_epoch_seed{0};
+  std::mutex order_mu;  // guards order + cursor + epoch_counter
+  size_t cursor = 0;
+  uint64_t epoch_counter = 0;
   std::atomic<bool> stop{false};
 
   std::mutex mu;
@@ -202,32 +203,27 @@ struct Loader {
   void worker() {
     const size_t img_floats = size_t(3) * resolution * resolution;
     while (!stop.load()) {
-      size_t start = cursor.fetch_add(batch);
-      if (start >= order.size()) {
-        // epoch boundary: the first thread past the end reshuffles
-        std::unique_lock<std::mutex> lk(mu);
-        if (cursor.load() >= order.size() + size_t(batch) * num_threads) {
-          // let one thread handle it
+      // Dispense a contiguous index chunk under a lock; reshuffles happen
+      // only here, so no worker ever reads `order` while it mutates.
+      std::vector<int64_t> idxs;
+      {
+        std::lock_guard<std::mutex> lk(order_mu);
+        if (cursor >= order.size()) {
+          epoch_counter++;
+          reshuffle(seed + epoch_counter * 0x9e3779b97f4a7c15ULL);
+          cursor = 0;
         }
-        if (start >= order.size()) {
-          static std::mutex epoch_mu;
-          std::lock_guard<std::mutex> elk(epoch_mu);
-          if (cursor.load(std::memory_order_relaxed) >= order.size()) {
-            uint64_t s = next_epoch_seed.fetch_add(1) + seed + 0x9e3779b9;
-            reshuffle(s);
-            cursor.store(0);
-          }
-          continue;
-        }
+        size_t start = cursor;
+        size_t end = std::min(start + size_t(batch), order.size());
+        cursor = end;
+        idxs.assign(order.begin() + start, order.begin() + end);
       }
-      size_t end = std::min(start + batch, order.size());
+      if (idxs.empty()) continue;
       Batch b;
-      b.count = int(end - start);
       b.data.resize(size_t(batch) * img_floats, 0.0f);
       b.indices.resize(batch, -1);
       int out_i = 0;
-      for (size_t i = start; i < end; ++i) {
-        int64_t idx = order[i];
+      for (int64_t idx : idxs) {
         if (decode_index(idx, b.data.data() + size_t(out_i) * img_floats)) {
           b.indices[out_i] = idx;
           out_i++;
