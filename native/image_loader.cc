@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <mutex>
 #include <random>
 #include <string>
@@ -154,7 +155,11 @@ struct Loader {
 
   std::mutex mu;
   std::condition_variable cv_full, cv_empty;
-  std::deque<Batch> ready;
+  // Ordered delivery: chunks carry a ticket; the consumer pops them in
+  // dispense order, so the stream is deterministic for a given seed.
+  std::map<uint64_t, Batch> ready;
+  uint64_t next_ticket = 0;    // under order_mu
+  uint64_t expected_out = 0;   // under mu
   size_t max_depth = 4;
 
   std::vector<std::thread> workers;
@@ -206,6 +211,7 @@ struct Loader {
       // Dispense a contiguous index chunk under a lock; reshuffles happen
       // only here, so no worker ever reads `order` while it mutates.
       std::vector<int64_t> idxs;
+      uint64_t ticket;
       {
         std::lock_guard<std::mutex> lk(order_mu);
         if (cursor >= order.size()) {
@@ -217,6 +223,7 @@ struct Loader {
         size_t end = std::min(start + size_t(batch), order.size());
         cursor = end;
         idxs.assign(order.begin() + start, order.begin() + end);
+        ticket = next_ticket++;
       }
       if (idxs.empty()) continue;
       Batch b;
@@ -229,17 +236,20 @@ struct Loader {
           out_i++;
         }
       }
-      b.count = out_i;
-      if (out_i == 0) continue;
+      b.count = out_i;  // may be 0 (all decodes failed); deliver anyway so
+                        // the ticket sequence has no holes
       {
         std::unique_lock<std::mutex> lk(mu);
+        // Window backpressure: admitting by ticket distance (not map size)
+        // guarantees the consumer's next expected ticket can always enter,
+        // so slow decoders cannot deadlock the ordered queue.
         cv_full.wait(lk, [&] {
-          return ready.size() < max_depth || stop.load();
+          return ticket < expected_out + max_depth || stop.load();
         });
         if (stop.load()) return;
-        ready.push_back(std::move(b));
+        ready.emplace(ticket, std::move(b));
       }
-      cv_empty.notify_one();
+      cv_empty.notify_all();
     }
   }
 };
@@ -287,18 +297,25 @@ int64_t gt_loader_len(void* h) {
 // indices batch int64s. Returns the number of valid images.
 int gt_loader_next(void* h, float* out, int64_t* indices) {
   Loader* l = static_cast<Loader*>(h);
-  Batch b;
-  {
-    std::unique_lock<std::mutex> lk(l->mu);
-    l->cv_empty.wait(lk, [&] { return !l->ready.empty() || l->stop.load(); });
-    if (l->stop.load()) return -1;
-    b = std::move(l->ready.front());
-    l->ready.pop_front();
+  for (;;) {
+    Batch b;
+    {
+      std::unique_lock<std::mutex> lk(l->mu);
+      l->cv_empty.wait(lk, [&] {
+        return l->ready.count(l->expected_out) > 0 || l->stop.load();
+      });
+      if (l->stop.load()) return -1;
+      auto it = l->ready.find(l->expected_out);
+      b = std::move(it->second);
+      l->ready.erase(it);
+      l->expected_out++;
+    }
+    l->cv_full.notify_all();
+    if (b.count == 0) continue;  // fully-failed chunk: skip transparently
+    memcpy(out, b.data.data(), b.data.size() * sizeof(float));
+    memcpy(indices, b.indices.data(), b.indices.size() * sizeof(int64_t));
+    return b.count;
   }
-  l->cv_full.notify_one();
-  memcpy(out, b.data.data(), b.data.size() * sizeof(float));
-  memcpy(indices, b.indices.data(), b.indices.size() * sizeof(int64_t));
-  return b.count;
 }
 
 void gt_loader_set_epoch(void* h, uint64_t s) {
