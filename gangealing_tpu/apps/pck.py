@@ -153,8 +153,12 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
 
 def run_pck(ckpt_path, data_path, alphas=(0.1, 0.05, 0.01), real_size=256,
             batch=50, iters=1, padding_mode="border", num_pairs=None,
-            transfer_both_ways=True, no_flip_inference=False, seed=0):
-    """End-to-end: load checkpoint, evaluate PCK on an LMDB PCK dataset."""
+            transfer_both_ways=False, no_flip_inference=False, seed=0):
+    """End-to-end: load checkpoint, evaluate PCK on an LMDB PCK dataset.
+
+    ``transfer_both_ways`` defaults False, matching the reference CLI
+    (applications/pck.py --transfer_both_ways store_true) and the one-way
+    SPair protocol (reference README.md:207); pass True for CUB."""
     from gangealing_tpu.io import load_torch_checkpoint, stn_config_from_args
 
     ckpt = load_torch_checkpoint(ckpt_path)

