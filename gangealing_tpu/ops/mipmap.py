@@ -94,20 +94,10 @@ def _build_stack(x, num_levels):
     return levels
 
 
-@partial(jax.jit, static_argnames=("max_num_levels", "padding_mode",
-                                   "min_level"))
-def mipmap_warp(inputs, grid, max_num_levels=3.5, min_level=0.0,
-                padding_mode="border"):
-    """Anti-aliased grid_sample: per-pixel mipmap level selection.
-
-    inputs: (N, C, H, W); grid: (N, Ho, Wo, 2) normalized to [-1, 1].
-    """
+def _mipmap_warp_fold(inputs, grid, num_levels, levels, padding_mode):
+    """Generic path: warp all levels at full resolution as folded channels,
+    then tent-lerp over the level axis. Exact; pays D x the sampling FLOPs."""
     N, C, H, W = inputs.shape
-    num_levels = int(math.ceil(max_num_levels - 1.0)) + 1
-
-    levels = mipmap_levels(grid, H, W, max_num_levels)  # (N, Ho, Wo)
-    levels = jnp.maximum(levels, min_level)
-
     stack = _build_stack(inputs, num_levels)  # list of (N, C, H, W)
     # Warp all levels in one grid_sample over a folded channel axis; gather
     # indices are shared across C*D channels.
@@ -123,3 +113,119 @@ def mipmap_warp(inputs, grid, max_num_levels=3.5, min_level=0.0,
     w = jnp.maximum(0.0, 1.0 - jnp.abs(lv - d))
     out = jnp.sum(warped * w.astype(warped.dtype), axis=1)  # (N, C, Ho, Wo)
     return out
+
+
+def _band_tent_coords(x, y, levels, H, num_levels, zeros_mode=False):
+    """Pack per-point kernel coords for the banded Pallas sampler.
+
+    x, y: (N, P) padding-transformed full-res coords; levels: (N, P).
+    Returns (N, P, 16) [x, m0..m3, a0..a3, pad] — see ops/pallas_mipmap.py.
+
+    The centers/amplitudes decompose tent_y^T . U_H exactly, where U_H is
+    interpolate_bilinear's row matrix (ops/resample.py:_resize_axis_weights):
+    fine row i reads coarse src = (i+0.5)*2^-d - 0.5 clipped to [0, Hc-1],
+    with tent weights — so composed weights are two tents per band, centered
+    at those src coords, scaled by the fine tent weights (t0, t1) and the
+    floor/ceil level-lerp weights (1-lw, lw).
+    """
+    f = jnp.clip(jnp.floor(levels), 0.0, float(num_levels - 2))
+    lw = levels - f
+    i0 = jnp.floor(y)
+    i1 = i0 + 1.0
+    t1 = y - i0
+    t0 = 1.0 - t1
+    # Mirror XLA grid_sample's edge handling exactly: values are read at
+    # CLIPPED row indices while weights come from the unclipped tent (so the
+    # d/dy subgradient at a clamped border is 0, like the fold path); the
+    # validity mask zeroes amplitudes only in zeros mode (y unclamped there).
+    if zeros_mode:
+        v0 = ((i0 >= 0) & (i0 <= H - 1)).astype(y.dtype)
+        v1 = ((i1 >= 0) & (i1 <= H - 1)).astype(y.dtype)
+    else:
+        v0 = v1 = jnp.ones_like(y)
+    i0c = jnp.clip(i0, 0.0, float(H - 1))
+    i1c = jnp.clip(i1, 0.0, float(H - 1))
+
+    def band(d, amp):
+        inv = jnp.exp2(-d)           # exact for small integer d
+        hc = H * inv                 # band height H / 2^d
+        off = 2.0 * H * (1.0 - inv)  # global row offset: sum_{k<d} H/2^k
+        c0 = jnp.clip((i0c + 0.5) * inv - 0.5, 0.0, hc - 1.0)
+        c1 = jnp.clip((i1c + 0.5) * inv - 0.5, 0.0, hc - 1.0)
+        return (off + c0, amp * t0 * v0), (off + c1, amp * t1 * v1)
+
+    (m0, a0), (m1, a1) = band(f, 1.0 - lw)
+    (m2, a2), (m3, a3) = band(f + 1.0, lw)
+    zeros = jnp.zeros_like(x)
+    return jnp.stack([x, m0, m1, m2, m3, a0, a1, a2, a3]
+                     + [zeros] * 7, axis=-1)
+
+
+def _mipmap_warp_banded(inputs, grid, num_levels, levels, padding_mode,
+                        precision="bf16", interpret=False):
+    """TPU path: sample a coarse-height band stack with fused multi-tent
+    weights — ~2.1x fewer matmul FLOPs than the fold path, numerically
+    identical (see ops/pallas_mipmap.py)."""
+    from gangealing_tpu.ops.pallas_mipmap import mipmap_sample
+    from gangealing_tpu.ops.grid_sample import _compute_coords
+
+    N, C, H, W = inputs.shape
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    P = Ho * Wo
+
+    # coarse Gaussian pyramid; width upsampled back to W, height kept coarse
+    smalls = [inputs.astype(jnp.float32)]
+    for _ in range(1, num_levels):
+        smalls.append(_gaussian_blur_2x(smalls[-1]))
+    bands = [smalls[0]] + [
+        interpolate_bilinear(s, s.shape[-2], W) for s in smalls[1:]]
+    stack_t = jnp.concatenate(
+        [b.transpose(0, 2, 1, 3).reshape(N, b.shape[-2], C * W)
+         for b in bands], axis=1)  # (N, R, C*W)
+
+    gx = _compute_coords(grid[..., 0].astype(jnp.float32).reshape(N, P),
+                         W, padding_mode, False)
+    gy = _compute_coords(grid[..., 1].astype(jnp.float32).reshape(N, P),
+                         H, padding_mode, False)
+    coords = _band_tent_coords(gx, gy, levels.reshape(N, P), H, num_levels,
+                               zeros_mode=(padding_mode == "zeros"))
+    # Materialize the coords operand: without this barrier XLA fuses the
+    # 16-slot tent construction into the pallas_call operand and re-executes
+    # it per grid block (measured 23ms vs 8.5ms for the whole warp). The
+    # stack is deliberately NOT barriered so XLA can CSE it across the two
+    # warps of a composed STN (both sample the same source image).
+    coords = jax.lax.optimization_barrier(coords)
+    out = mipmap_sample(coords, stack_t, W, C, precision=precision,
+                        interpret=interpret)  # (N, P, C)
+    return out.transpose(0, 2, 1).reshape(N, C, Ho, Wo).astype(inputs.dtype)
+
+
+@partial(jax.jit, static_argnames=("max_num_levels", "padding_mode",
+                                   "min_level", "force_path"))
+def mipmap_warp(inputs, grid, max_num_levels=3.5, min_level=0.0,
+                padding_mode="border", force_path=None):
+    """Anti-aliased grid_sample: per-pixel mipmap level selection.
+
+    inputs: (N, C, H, W); grid: (N, Ho, Wo, 2) normalized to [-1, 1].
+    force_path: None (auto) | 'banded' | 'fold' (tests/debugging).
+    """
+    import os
+    N, C, H, W = inputs.shape
+    num_levels = int(math.ceil(max_num_levels - 1.0)) + 1
+
+    levels = mipmap_levels(grid, H, W, max_num_levels)  # (N, Ho, Wo)
+    levels = jnp.maximum(levels, min_level)
+
+    path = force_path or os.environ.get("GANGEALING_MIPMAP")
+    if path is None:
+        from gangealing_tpu.ops.grid_sample import _default_backend_is_tpu
+        from gangealing_tpu.ops.pallas_mipmap import mipmap_mxu_fits
+        pow2 = H == W and (H & (H - 1)) == 0
+        big = grid.shape[1] * grid.shape[2] >= 2048
+        path = ("banded" if pow2 and big and _default_backend_is_tpu()
+                and mipmap_mxu_fits(H, W, C, num_levels) else "fold")
+    if path == "banded":
+        precision = os.environ.get("GANGEALING_GS_PRECISION", "bf16")
+        return _mipmap_warp_banded(inputs, grid, num_levels, levels,
+                                   padding_mode, precision=precision)
+    return _mipmap_warp_fold(inputs, grid, num_levels, levels, padding_mode)

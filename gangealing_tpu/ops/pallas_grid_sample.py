@@ -106,7 +106,10 @@ def _dcoords_kernel(coords_ref, img_ref, dout_ref, dc_ref, *, H, W, C, PB,
                    preferred_element_type=jnp.float32,
                    precision=mm_precision).reshape(PB, C, W)
     C_ = jnp.sum(rows * dout[:, :, None], axis=1)  # (PB, W)
-    dwx = jnp.where(jnp.abs(dx_w) < 1.0, -jnp.sign(dx_w), 0.0)
+    # Right-derivative convention (torch/XLA): at integer x the active pair
+    # is (floor(x), floor(x)+1), so dwx = -1 on [0,1) and +1 on [-1,0).
+    dwx = (jnp.where((dx_w >= -1.0) & (dx_w < 0.0), 1.0, 0.0)
+           - jnp.where((dx_w >= 0.0) & (dx_w < 1.0), 1.0, 0.0))
     dx = jnp.sum(dwx * C_, axis=1)  # (PB,)
 
     # d/dy: A[p, h] = sum_cw (dout x wx)[p, cw] * img[h, cw]
@@ -116,7 +119,8 @@ def _dcoords_kernel(coords_ref, img_ref, dout_ref, dc_ref, *, H, W, C, PB,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=mm_precision)  # (PB, H)
-    dwy = jnp.where(jnp.abs(dy_h) < 1.0, -jnp.sign(dy_h), 0.0)
+    dwy = (jnp.where((dy_h >= -1.0) & (dy_h < 0.0), 1.0, 0.0)
+           - jnp.where((dy_h >= 0.0) & (dy_h < 1.0), 1.0, 0.0))
     dy = jnp.sum(dwy * A, axis=1)  # (PB,)
 
     dc_ref[0] = jnp.stack([dx, dy], axis=-1)
@@ -246,6 +250,9 @@ def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
                          constant_values=-10.0)
 
     img_t = input.transpose(0, 2, 1, 3).reshape(N, H, C * W)
+    # Materialize the coords operand so XLA cannot fuse (and re-execute) the
+    # coordinate transform into per-block pallas operand reads.
+    coords = jax.lax.optimization_barrier(coords)
     out = _sample_core(coords, img_t, H, W, C, PB, (precision, interpret))
     out = out[:, :P].transpose(0, 2, 1).reshape(N, C, Ho, Wo)
     return out.astype(input.dtype)

@@ -1,0 +1,274 @@
+"""Pallas TPU kernel: fused mipmap sampling over a coarse-height band stack.
+
+The generic path (ops/mipmap.py XLA fold) warps all D Gaussian levels at full
+resolution as a folded (N, C*D, H, W) image — the tent-matmul then contracts
+over H x (C*D*W), paying D x the FLOPs of a plain warp even though each output
+pixel reads exactly two levels.
+
+This kernel cuts that cost ~2.1x with an EXACT reformulation. Level d is
+stored at its native coarse height (H/2^d rows, width upsampled back to W),
+stacked into one tall image of R = sum_d H/2^d rows. Bilinear resize is
+separable, so the reference's full-resolution level satisfies
+
+    L_d = U_H . small_d . U_W^T
+    sample(L_d, y, x) = (tent_y^T U_H) . (small_d U_W^T) . tent_x
+
+i.e. sampling the W-upsampled coarse band with *composed* row weights
+(tent_y^T U_H) reproduces upsample-then-sample bit-for-bit (up to f32
+rounding). tent_y has two nonzeros (rows i0, i1 = i0+1, weights t0, t1) and
+each row of U_H is itself a tent, so the composed row weights are a sum of
+at most 2 tents per active level — with the floor/ceil level-lerp folded in,
+each point's full weight vector over the R-row stack is a sum of K=4 tents
+
+    wy[p, r] = sum_k a_k * max(0, 1 - |m_k - r|)
+
+with per-point centers m_k (into global stack rows) and amplitudes a_k
+(tent row weight x level lerp weight). The kernel evaluates the K tents and
+runs the same matmul pipeline as ops/pallas_grid_sample.py:
+
+    out[p, c] = sum_r wy[p, r] * stack[r, c*W + w] * wx[p, w]
+
+Backward is fused the same way (no scatters): d/d stack via an accumulating
+wy^T matmul; d/d x via tent-derivative weights; d/d a_k via the row
+projection A = (dout x wx) @ stack^T contracted with each tent. Centers m_k
+are piecewise-constant in (y, level), so their gradient is exactly zero; the
+chain rule into grid coordinates and mipmap levels flows through the
+amplitude construction in ops/mipmap.py (plain jax autodiff).
+
+Capability reference: antialiased_sampling.py:19-238 (MipmapWarp).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# coords slot layout (lane dim 16):
+#   0: x (transformed full-res column coordinate)
+#   1..4: m_k tent centers (global stack rows)
+#   5..8: a_k tent amplitudes
+#   9..15: zero padding
+NUM_TENTS = 4
+COORD_LANES = 16
+
+
+def _iota_f32(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
+def _multi_tent_wy(coords, PB, R):
+    """(1, PB, 16) coords block -> (PB, R) combined row weights."""
+    rr = _iota_f32((PB, R), 1)
+    wy = jnp.zeros((PB, R), jnp.float32)
+    for k in range(NUM_TENTS):
+        m = coords[0, :, 1 + k]
+        a = coords[0, :, 1 + NUM_TENTS + k]
+        wy += a[:, None] * jnp.maximum(0.0, 1.0 - jnp.abs(m[:, None] - rr))
+    return wy
+
+
+def _fwd_kernel(coords_ref, img_ref, out_ref, *, R, W, C, PB, compute_dtype):
+    # coords: (1, PB, 16) f32; img: (1, R, C*W); out: (1, PB, C)
+    x = coords_ref[0, :, 0]
+    wy = _multi_tent_wy(coords_ref, PB, R)
+    img = img_ref[0]  # (R, C*W)
+    mm_precision = (jax.lax.Precision.HIGHEST
+                    if compute_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+    rows = jnp.dot(wy.astype(compute_dtype), img.astype(compute_dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=mm_precision)  # (PB, C*W)
+    ww = _iota_f32((PB, W), 1)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ww))  # (PB, W)
+    rows = rows.reshape(PB, C, W)
+    out_ref[0] = jnp.sum(rows * wx[:, None, :].astype(rows.dtype), axis=2)
+
+
+def _dimg_kernel(coords_ref, dout_ref, dimg_ref, *, R, W, C, PB,
+                 compute_dtype):
+    # coords: (1, PB, 16); dout: (1, PB, C); dimg: (1, R, C*W) accumulated
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        dimg_ref[0] = jnp.zeros_like(dimg_ref[0])
+
+    x = coords_ref[0, :, 0]
+    ww = _iota_f32((PB, W), 1)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ww))
+    dout = dout_ref[0]  # (PB, C)
+    B = (dout[:, :, None] * wx[:, None, :]).reshape(PB, C * W)
+    wy = _multi_tent_wy(coords_ref, PB, R)  # (PB, R)
+    mm_precision = (jax.lax.Precision.HIGHEST
+                    if compute_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+    dimg_ref[0] += jax.lax.dot_general(
+        wy.astype(compute_dtype), B.astype(compute_dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mm_precision)  # wy^T @ B: (R, C*W)
+
+
+def _dcoords_kernel(coords_ref, img_ref, dout_ref, dc_ref, *, R, W, C, PB,
+                    compute_dtype):
+    # dc: (1, PB, 16): slot 0 = dx; slots 5..8 = da_k; m slots get 0.
+    x = coords_ref[0, :, 0]
+    img = img_ref[0]  # (R, C*W)
+    dout = dout_ref[0]  # (PB, C)
+    mm_precision = (jax.lax.Precision.HIGHEST
+                    if compute_dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+
+    ww = _iota_f32((PB, W), 1)
+    dx_w = x[:, None] - ww
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx_w))  # (PB, W)
+    wy = _multi_tent_wy(coords_ref, PB, R)  # (PB, R)
+
+    # d/dx: C_[p, w] = sum_c dout[p, c] * (WY @ img)[p, c, w]
+    rows = jnp.dot(wy.astype(compute_dtype), img.astype(compute_dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=mm_precision).reshape(PB, C, W)
+    C_ = jnp.sum(rows * dout[:, :, None], axis=1)  # (PB, W)
+    # Right-derivative convention (torch/XLA): at integer x the active pair
+    # is (floor(x), floor(x)+1), so dwx = -1 on [0,1) and +1 on [-1,0).
+    dwx = (jnp.where((dx_w >= -1.0) & (dx_w < 0.0), 1.0, 0.0)
+           - jnp.where((dx_w >= 0.0) & (dx_w < 1.0), 1.0, 0.0))
+    dx = jnp.sum(dwx * C_, axis=1)  # (PB,)
+
+    # A[p, r] = sum_cw (dout x wx)[p, cw] * img[r, cw]
+    B = (dout[:, :, None] * wx[:, None, :]).reshape(PB, C * W)
+    A = jax.lax.dot_general(B.astype(compute_dtype),
+                            img.astype(compute_dtype),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=mm_precision)  # (PB, R)
+
+    rr = _iota_f32((PB, R), 1)
+    das = []
+    for k in range(NUM_TENTS):
+        m = coords_ref[0, :, 1 + k]
+        tent = jnp.maximum(0.0, 1.0 - jnp.abs(m[:, None] - rr))
+        das.append(jnp.sum(tent * A, axis=1))  # (PB,)
+    zeros = jnp.zeros_like(dx)
+    dc_ref[0] = jnp.stack(
+        [dx] + [zeros] * NUM_TENTS + das
+        + [zeros] * (COORD_LANES - 1 - 2 * NUM_TENTS), axis=-1)
+
+
+def _pallas_call_common(kernel, grid, in_specs, out_specs, out_shape,
+                        flops, interpret):
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=flops // 4,
+                                      transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _mt_sample_core(coords, img_t, R, W, C, PB, interpret_precision):
+    precision, interpret = interpret_precision
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    N, P_pad, _ = coords.shape
+    return _pallas_call_common(
+        functools.partial(_fwd_kernel, R=R, W=W, C=C, PB=PB,
+                          compute_dtype=dtype),
+        grid=(N, P_pad // PB),
+        in_specs=[
+            pl.BlockSpec((1, PB, COORD_LANES), lambda n, p: (n, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, C * W), lambda n, p: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, PB, C), lambda n, p: (n, p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, P_pad, C), jnp.float32),
+        flops=2 * N * P_pad * R * C * W,
+        interpret=interpret)(coords, img_t)
+
+
+def _mt_sample_fwd(coords, img_t, R, W, C, PB, interpret_precision):
+    out = _mt_sample_core(coords, img_t, R, W, C, PB, interpret_precision)
+    return out, (coords, img_t)
+
+
+def _mt_sample_bwd(R, W, C, PB, interpret_precision, residuals, g):
+    precision, interpret = interpret_precision
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    coords, img_t = residuals
+    N, P_pad, _ = coords.shape
+    g = g.astype(jnp.float32)
+    PBB = min(PB, 256)
+    dimg = _pallas_call_common(
+        functools.partial(_dimg_kernel, R=R, W=W, C=C, PB=PBB,
+                          compute_dtype=dtype),
+        grid=(N, P_pad // PBB),
+        in_specs=[
+            pl.BlockSpec((1, PBB, COORD_LANES), lambda n, p: (n, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PBB, C), lambda n, p: (n, p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, C * W), lambda n, p: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, R, C * W), jnp.float32),
+        flops=2 * N * P_pad * R * C * W,
+        interpret=interpret)(coords, g)
+    dcoords = _pallas_call_common(
+        functools.partial(_dcoords_kernel, R=R, W=W, C=C, PB=PBB,
+                          compute_dtype=dtype),
+        grid=(N, P_pad // PBB),
+        in_specs=[
+            pl.BlockSpec((1, PBB, COORD_LANES), lambda n, p: (n, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, C * W), lambda n, p: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PBB, C), lambda n, p: (n, p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, PBB, COORD_LANES), lambda n, p: (n, p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, P_pad, COORD_LANES), jnp.float32),
+        flops=4 * N * P_pad * R * C * W,
+        interpret=interpret)(coords, img_t, g)
+    return dcoords, dimg
+
+
+_mt_sample_core.defvjp(_mt_sample_fwd, _mt_sample_bwd)
+
+
+def mipmap_sample(coords, stack_t, W, C, point_block=256, precision="bf16",
+                  interpret=False):
+    """Sample a band stack with per-point multi-tent row weights.
+
+    coords: (N, P, 16) f32, slot layout above (built by ops/mipmap.py).
+    stack_t: (N, R, C*W) band stack (level d occupies H/2^d rows).
+    Returns (N, P, C) f32. Fully differentiable (fused Pallas fwd + bwd).
+    """
+    N, P, _ = coords.shape
+    _, R, CW = stack_t.shape
+    assert CW == C * W
+    PB = point_block
+    P_pad = ((P + PB - 1) // PB) * PB
+    if P_pad != P:
+        coords = jnp.pad(coords, ((0, 0), (0, P_pad - P), (0, 0)))
+    out = _mt_sample_core(coords, stack_t, R, W, C, PB,
+                          (precision, interpret))
+    return out[:, :P]
+
+
+def mipmap_mxu_fits(H, W, C, num_levels, point_block=256):
+    """VMEM + Mosaic layout feasibility for the band-stack kernel."""
+    if W % 128 != 0 or H % 8 != 0:
+        return False
+    R = sum(H >> d for d in range(num_levels))
+    if R % 8 != 0:
+        return False
+    img_bytes = R * C * W * 4
+    rows_bytes = point_block * C * W * 4
+    wy_bytes = point_block * R * 4
+    return img_bytes + rows_bytes + 2 * wy_bytes < 12 * 2 ** 20
