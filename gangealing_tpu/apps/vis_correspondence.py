@@ -142,6 +142,15 @@ def pad_grid(grid):
     return g
 
 
+def get_patch_size(length):
+    """Window-size heuristic for patch-restricted NN tracking
+    (vis_correspondence.py:173-181): fewer frames => larger per-frame motion
+    => bigger search window. Always odd."""
+    import math
+    patch_size = math.ceil(9 * max(1, 240 / length))
+    return patch_size + 1 if patch_size % 2 == 0 else patch_size
+
+
 def nearest_neighbor_within_patch(grid, points, patch_centers, patch_size):
     """For each point, find the grid location (within a patch_size window
     around patch_centers) whose flow value is closest in L2
@@ -174,3 +183,232 @@ def nearest_neighbor_within_patch(grid, points, patch_centers, patch_size):
     out_x = centers[..., 0] + nx - 1  # remove padding
     out_y = centers[..., 1] + ny - 1
     return jnp.stack([out_x, out_y], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Assembled dense-tracking pipeline (vis_correspondence.py:226-298)
+# ---------------------------------------------------------------------------
+
+def _flip_grid(grid, flip_indices):
+    """Negate the x sampling coordinate for flipped images
+    (vis_correspondence.py:166-169). grid: (..., N, H, W, 2)."""
+    fi = jnp.reshape(flip_indices, (-1, 1, 1))
+    return grid.at[..., 0].multiply(jnp.where(fi, -1.0, 1.0))
+
+
+def _resize_grid(grid, out_res):
+    """Bilinearly resize an (N, H, W, 2) sampling grid."""
+    from gangealing_tpu.ops.resample import interpolate_bilinear
+    if grid.shape[1] == out_res:
+        return grid
+    g = interpolate_bilinear(grid.transpose(0, 3, 1, 2), out_res, out_res)
+    return g.transpose(0, 2, 3, 1)
+
+
+def _smooth_stage(grid_to, grid_from, data, length, nrow, points=None,
+                  patch_centers=None, padding_mode="border"):
+    """Interpolate grid_from -> grid_to over `length` frames, warping `data`
+    and (optionally) tracking `points` with patch-restricted NN
+    (vis_correspondence.py:184-208). Returns (frames, tracked_points(T,N,P,2),
+    congealed_images(T,N,C,R,R), final_patch_centers)."""
+    from gangealing_tpu.ops.mipmap import mipmap_warp
+    patch_size = get_patch_size(length)
+    frames, out_points, out_images = [], [], []
+    for fi in range(length):
+        a = 1.0 - 0.5 * (1.0 + np.cos(np.pi * fi / (length - 1)))
+        grid_t = grid_from + a * (grid_to - grid_from)
+        congealed = mipmap_warp(data, grid_t, padding_mode=padding_mode)
+        frames.append(images2grid(np.asarray(congealed), nrow=nrow,
+                                  normalize=True, range=(-1, 1)))
+        out_images.append(congealed)
+        if points is not None:
+            patch_centers = nearest_neighbor_within_patch(
+                grid_t, points, patch_centers, patch_size)
+            out_points.append(patch_centers.astype(jnp.float32))
+    out_points = jnp.stack(out_points) if out_points else None
+    return frames, out_points, jnp.stack(out_images), patch_centers
+
+
+def visualize_label_propagation(images, propagated_points, colors,
+                                alpha_channels, images_per_frame,
+                                output_resolution, sigma=1.2, opacity=0.7,
+                                splat_batch=100, colorscale="turbo",
+                                initial_frames=(), out_path=None, fps=60):
+    """Splat tracked points onto the per-frame congealed images in
+    splat_batch chunks, grid them, and reverse the sequence
+    (vis_correspondence.py:133-158). images: (T, N, C, R, R);
+    propagated_points: (T, N, P, 2)."""
+    T_N = images.shape[0] * images.shape[1]
+    assert T_N % images_per_frame == 0
+    images = images.reshape(-1, 3, output_resolution, output_resolution)
+    pts = propagated_points.reshape(-1, propagated_points.shape[2], 2)
+    if colors is not None:
+        colors_rep = jnp.tile(colors, (splat_batch, 1, 1))
+    alpha_rep = jnp.tile(alpha_channels, (splat_batch, 1, 1))
+    chunks = []
+    for i in range(0, images.shape[0], splat_batch):
+        n = min(splat_batch, images.shape[0] - i)
+        chunks.append(np.asarray(splat_points(
+            images[i:i + n], pts[i:i + n], sigma=sigma, opacity=opacity,
+            colorscale=colorscale,
+            colors=colors_rep[:n] if colors is not None else None,
+            alpha_channel=alpha_rep[:n])))
+    splatted = np.concatenate(chunks, 0).reshape(
+        -1, images_per_frame, 3, output_resolution, output_resolution)
+    nrow = max(1, int(images_per_frame ** 0.5))
+    frames = list(initial_frames)
+    for frame in splatted:
+        frames.append(images2grid(frame, nrow=nrow, normalize=True,
+                                  range=(-1, 1)))
+    frames = frames[::-1]  # play congealed -> unaligned
+    if out_path is not None:
+        save_video(frames, fps, out_path)
+    return frames
+
+
+def visualize_correspondence(congealing_frames, propagation_frames,
+                             out_path=None, fps=60, pause_steps=60,
+                             interp_steps=60, end_pause_steps=5):
+    """Combined congeal-then-propagate video (vis_correspondence.py:118-131)."""
+    last = np.asarray(congealing_frames[-1], np.float32)
+    first_prop = np.asarray(propagation_frames[0], np.float32)
+    interp = [np.clip(last + a * (first_prop - last), 0, 255)
+              .round().astype(np.uint8)
+              for a in np.linspace(0, 1, interp_steps)]
+    full = (list(congealing_frames)
+            + [congealing_frames[-1]] * pause_steps + interp
+            + list(propagation_frames)
+            + [propagation_frames[-1]] * end_pause_steps)
+    if out_path is not None:
+        save_video(full, fps, out_path)
+    return full
+
+
+def smoothly_congeal_and_propagate(params, cfg: ComposedSTNConfig, images,
+                                   label_path=None, length=60, iters=1,
+                                   padding_mode="border",
+                                   output_resolution=None, resolution=None,
+                                   vis_in_stages=False, sigma=1.2,
+                                   opacity=0.7, splat_batch=100,
+                                   no_flip_inference=False, objects=False,
+                                   out_dir=None, fps=60,
+                                   classifier=None, cluster=None):
+    """The reference's flagship correspondence video
+    (vis_correspondence.py:226-298): smoothly animate identity -> congealing
+    warp; if a dense label is given, track its pixels through the animation
+    with patch-NN search, run the tracking BIDIRECTIONALLY (forward from the
+    unaligned frame and reverse from the congealed frame, lerped per-frame,
+    :279-287) for consistency, splat in --splat_batch chunks (:477), and save
+    smoothly_congeal.mp4 / smoothly_propagate.mp4 / smooth_correspondence.mp4.
+
+    Returns (congealing_frames, propagation_frames_or_None).
+    """
+    import os
+    from gangealing_tpu.models.stn import (
+        normalize_points, unnormalize_points, convert_points,
+        sample_grid_at_points)
+    from gangealing_tpu.ops.grid_sample import identity_grid
+
+    data = jnp.asarray(images)
+    N, C, S, _ = data.shape
+    R = output_resolution or S
+    nrow = max(1, int(N ** 0.5))
+
+    cls_params, cls_cfg = classifier if classifier is not None else (None, None)
+    data_flipped, flip_idx, warp_policy, _ = determine_flips(
+        params, cfg, data, classifier_params=cls_params,
+        classifier_cfg=cls_cfg, cluster=cluster,
+        no_flip_inference=no_flip_inference, iters=iters,
+        padding_mode=padding_mode)
+    flip_vec = flip_idx.reshape(N)
+
+    intermediates = composed_stn_forward(
+        params, cfg, data_flipped, iters=iters, warp_policy=warp_policy,
+        padding_mode=padding_mode, return_intermediates=True)
+    stage_grids = [g for (_, g) in intermediates]
+    if not vis_in_stages:
+        stage_grids = [stage_grids[-1]]
+    stage_grids = [_flip_grid(_resize_grid(g, R), flip_vec)
+                   for g in stage_grids]
+
+    ident = identity_grid(N, R, R)
+    flipping_grid = _flip_grid(ident, flip_vec)
+    grids = [flipping_grid] + stage_grids  # stage i: grids[i] -> grids[i+1]
+    num_stages = len(grids) - 1
+
+    # dense label -> initial tracked points in unaligned space
+    if label_path is not None:
+        points, colors, alpha_channels = load_dense_label(
+            label_path, resolution=resolution, load_colors=objects)
+        res = resolution or points_resolution_default(points)
+        pts = jnp.tile(points, (N, 1, 1)).astype(jnp.float32)
+        normalized_congealed = normalize_points(pts, R, res)
+        full_grid = grids[-1]
+        unaligned_norm = sample_grid_at_points(full_grid,
+                                               normalized_congealed)
+        unaligned = unnormalize_points(unaligned_norm, R, R)
+        patch_centers = jnp.clip(jnp.round(unaligned), 0, R - 1).astype(
+            jnp.int32)
+        # patch centers live in OUTPUT pixel space: mirror them for flipped
+        # images (the grids already sample the unflipped source; reference
+        # vis_correspondence.py:250-252)
+        fv = flip_vec.reshape(N, 1)
+        patch_centers = patch_centers.at[..., 0].set(
+            jnp.where(fv, R - 1 - patch_centers[..., 0],
+                      patch_centers[..., 0]))
+        tracked = unaligned_norm  # NN search happens in normalized space
+        congealed_centers = jnp.round(
+            convert_points(pts, res, R) if res != R else pts).astype(jnp.int32)
+    else:
+        tracked = patch_centers = colors = alpha_channels = None
+        congealed_centers = None
+
+    congealed_frames = []
+    propagated_points = []
+    congealed_images = []
+    for i in range(num_stages):
+        frames_i, pts_i, imgs_i, patch_centers = _smooth_stage(
+            grids[i + 1], grids[i], data, length, nrow, tracked,
+            patch_centers, padding_mode)
+        congealed_frames.extend(frames_i)
+        propagated_points.append(pts_i)
+        congealed_images.append(imgs_i)
+
+    propagation_frames = None
+    if label_path is not None:
+        # Bidirectional consistency (vis_correspondence.py:279-287): track in
+        # reverse (congealed -> unaligned) and lerp the two predictions with
+        # per-frame alpha so the congealed end is pinned to the exact label.
+        alpha = jnp.linspace(0.0, 1.0, length).reshape(length, 1, 1, 1)
+        cc = congealed_centers
+        for i in range(num_stages):
+            _, rev_pts, _, cc = _smooth_stage(
+                grids[-i - 2], grids[-i - 1], data, length, nrow, tracked,
+                cc, padding_mode)
+            fwd = propagated_points[-i - 1]
+            propagated_points[-i - 1] = (
+                fwd + alpha * (jnp.flip(rev_pts, axis=0) - fwd))
+        imgs_cat = jnp.concatenate(congealed_images, 0)
+        pts_cat = jnp.concatenate(propagated_points, 0)
+        propagation_frames = visualize_label_propagation(
+            imgs_cat, pts_cat, colors if objects else None, alpha_channels,
+            N, R, sigma=sigma, opacity=opacity, splat_batch=splat_batch,
+            out_path=(os.path.join(out_dir, "smoothly_propagate.mp4")
+                      if out_dir else None), fps=fps)
+        visualize_correspondence(
+            congealed_frames, propagation_frames,
+            out_path=(os.path.join(out_dir, "smooth_correspondence.mp4")
+                      if out_dir else None), fps=fps)
+    if out_dir is not None:
+        save_video(congealed_frames, fps,
+                   os.path.join(out_dir, "smoothly_congeal.mp4"))
+    return congealed_frames, propagation_frames
+
+
+def points_resolution_default(points):
+    """Fallback label resolution: tight power-of-2 bound of the coords."""
+    m = float(np.max(np.asarray(points))) + 1
+    r = 1
+    while r < m:
+        r *= 2
+    return r

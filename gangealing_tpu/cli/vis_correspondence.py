@@ -1,4 +1,13 @@
-"""Correspondence-visualization CLI (reference applications/vis_correspondence)."""
+"""Correspondence-visualization CLI (reference applications/vis_correspondence).
+
+Default mode ("track") runs the reference's flagship pipeline: smoothly
+animate identity -> congealing warp, track a dense congealed-space label
+through the animation bidirectionally, and write smoothly_congeal.mp4,
+smoothly_propagate.mp4 and smooth_correspondence.mp4
+(vis_correspondence.py:226-298, :440-492).
+"""
+
+import os
 
 import numpy as np
 
@@ -9,12 +18,25 @@ def main():
     parser = base_eval_argparse()
     parser.add_argument("--label_path", type=str, default=None)
     parser.add_argument("--out", type=str, default="visuals")
-    parser.add_argument("--num_frames", default=60, type=int)
-    parser.add_argument("--fps", default=30, type=int)
+    parser.add_argument("--length", "--num_frames", dest="length",
+                        default=60, type=int,
+                        help="frames per warp-interpolation stage")
+    parser.add_argument("--fps", default=60, type=int)
     parser.add_argument("--sigma", default=1.2, type=float)
-    parser.add_argument("--n_images", default=4, type=int)
-    parser.add_argument("--mode", default="congeal",
-                        choices=["congeal", "propagate", "average"])
+    parser.add_argument("--opacity", default=0.7, type=float)
+    parser.add_argument("--resolution", default=256, type=int,
+                        help="resolution of the dense label / flow field")
+    parser.add_argument("--output_resolution", default=None, type=int)
+    parser.add_argument("--splat_batch", default=100, type=int,
+                        help="chunk size for the splatting op")
+    parser.add_argument("--vis_in_stages", action="store_true")
+    parser.add_argument("--objects", action="store_true",
+                        help="load RGB values from the label")
+    parser.add_argument("--cluster", default=None, type=int)
+    parser.add_argument("--dset_indices", type=int, nargs="+",
+                        default=list(range(4)))
+    parser.add_argument("--mode", default="track",
+                        choices=["track", "congeal", "propagate", "average"])
     args = parser.parse_args()
 
     from gangealing_tpu.apps.common import load_stn
@@ -24,22 +46,37 @@ def main():
     params, cfg = load_stn(args.ckpt, supersize=args.real_size)
     dset = MultiResolutionDataset(args.real_data_path,
                                   resolution=args.real_size)
-    imgs = np.stack([dset[i] for i in range(min(args.n_images, len(dset)))])
+    idx = [i for i in args.dset_indices if i < len(dset)]
+    imgs = np.stack([dset[i] for i in idx])
+    os.makedirs(args.out, exist_ok=True)
+    if args.mode == "track":
+        vc.smoothly_congeal_and_propagate(
+            params, cfg, imgs, label_path=args.label_path,
+            length=args.length, iters=args.iters,
+            padding_mode=args.padding_mode,
+            output_resolution=args.output_resolution or args.real_size,
+            resolution=args.resolution, vis_in_stages=args.vis_in_stages,
+            sigma=args.sigma, opacity=args.opacity,
+            splat_batch=args.splat_batch,
+            no_flip_inference=args.no_flip_inference, objects=args.objects,
+            out_dir=args.out, fps=args.fps, cluster=args.cluster)
+        print(f"Wrote videos to {args.out}/")
+        return
     out = f"{args.out}/{args.mode}.mp4"
     if args.mode == "congeal":
-        vc.smooth_congeal_video(params, cfg, imgs, args.num_frames,
+        vc.smooth_congeal_video(params, cfg, imgs, args.length,
                                 iters=args.iters,
                                 padding_mode=args.padding_mode,
                                 out_path=out, fps=args.fps,
                                 no_flip_inference=args.no_flip_inference)
     elif args.mode == "propagate":
         vc.smooth_propagation_video(params, cfg, imgs, args.label_path,
-                                    args.num_frames, sigma=args.sigma,
+                                    args.length, sigma=args.sigma,
                                     iters=args.iters,
                                     padding_mode=args.padding_mode,
                                     out_path=out, fps=args.fps)
     else:
-        vc.average_image_video(params, cfg, imgs, args.num_frames,
+        vc.average_image_video(params, cfg, imgs, args.length,
                                iters=args.iters,
                                padding_mode=args.padding_mode,
                                out_path=out, fps=args.fps)

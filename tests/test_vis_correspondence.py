@@ -63,3 +63,73 @@ def test_bucket_by_cluster(rng):
     buckets = bucket_real_images_by_cluster(cls_params, cfg, imgs, 2)
     assert len(buckets) == 2
     assert sum(len(b) for b in buckets) == 6
+
+
+def test_smoothly_congeal_and_propagate(params, tmp_path, rng):
+    """The assembled dense-tracking pipeline: bidirectional consistency,
+    splat_batch chunking, three mp4s (vis_correspondence.py:226-298)."""
+    from PIL import Image
+    from gangealing_tpu.apps.vis_correspondence import (
+        smoothly_congeal_and_propagate)
+    rgba = np.zeros((S, S, 4), np.uint8)
+    rgba[20:36, 24:40] = [255, 0, 0, 255]
+    label = str(tmp_path / "label.png")
+    Image.fromarray(rgba).save(label)
+    imgs = np.tanh(rng.randn(4, 3, S, S).astype(np.float32))
+    out_dir = str(tmp_path / "vids")
+    os.makedirs(out_dir)
+    congeal_frames, prop_frames = smoothly_congeal_and_propagate(
+        params, CFG, imgs, label_path=label, length=4,
+        output_resolution=S, resolution=S, splat_batch=3,  # force chunking
+        no_flip_inference=False, out_dir=out_dir, fps=10)
+    assert len(congeal_frames) == 4
+    assert prop_frames is not None and len(prop_frames) == 4
+    for name in ("smoothly_congeal.mp4", "smoothly_propagate.mp4",
+                 "smooth_correspondence.mp4"):
+        assert os.path.getsize(os.path.join(out_dir, name)) > 0
+
+
+def test_smoothly_congeal_in_stages_no_label(params, rng):
+    from gangealing_tpu.apps.vis_correspondence import (
+        smoothly_congeal_and_propagate)
+    imgs = np.tanh(rng.randn(2, 3, S, S).astype(np.float32))
+    frames, prop = smoothly_congeal_and_propagate(
+        params, CFG, imgs, length=3, vis_in_stages=True,
+        output_resolution=S, no_flip_inference=True)
+    assert prop is None
+    assert len(frames) == 6  # 2 stages (similarity, flow) x 3 frames
+
+
+def test_bidirectional_tracking_pins_congealed_end(params, tmp_path, rng):
+    """At the final (fully congealed) frame the tracked points must equal the
+    exact label coordinates — that is what the reverse pass guarantees."""
+    from PIL import Image
+    from gangealing_tpu.apps.vis_correspondence import (
+        smoothly_congeal_and_propagate, visualize_label_propagation)
+    import gangealing_tpu.apps.vis_correspondence as vc
+
+    rgba = np.zeros((S, S, 4), np.uint8)
+    rgba[8:12, 8:12] = [0, 0, 255, 255]
+    label = str(tmp_path / "label.png")
+    Image.fromarray(rgba).save(label)
+    imgs = np.tanh(rng.randn(2, 3, S, S).astype(np.float32))
+
+    captured = {}
+    orig = vc.visualize_label_propagation
+
+    def spy(images, pts, *a, **k):
+        captured["pts"] = np.asarray(pts)
+        return orig(images, pts, *a, **k)
+
+    vc.visualize_label_propagation = spy
+    try:
+        smoothly_congeal_and_propagate(
+            params, CFG, imgs, label_path=label, length=4,
+            output_resolution=S, resolution=S, no_flip_inference=True)
+    finally:
+        vc.visualize_label_propagation = orig
+    from gangealing_tpu.utils.vis import load_dense_label
+    points, _, _ = load_dense_label(label, resolution=S)
+    expected = np.round(np.asarray(points)[0])
+    final = captured["pts"][-1]  # (N, P, 2) at the fully-congealed frame
+    assert np.allclose(final, expected[None], atol=1e-4)
