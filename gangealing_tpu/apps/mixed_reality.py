@@ -6,6 +6,16 @@ Capability reference: applications/mixed_reality.py:83-300
 determine flips -> uncongeal label points -> splat + blend -> also emit the
 congealed video. Frame sharding across ranks becomes plain batching on a
 single controller.
+
+Memory/UX modes (reference :213-216, :239-243, :258-262):
+  * save_frames=True streams per-frame PNGs to <out>/frames and
+    <out>/congealing_frames instead of holding the video in host memory,
+    then assembles the mp4s from the files.
+  * frames may be a (T, C, H, W) array OR a list of image paths (a frame
+    directory) — paths are loaded lazily one batch at a time.
+  * average_path + a clustering classifier adds the cluster-activity video
+    (average.mp4): each cluster's labeled average image, with the currently
+    active cluster highlighted per frame (reference :120-128, :245-256).
 """
 
 import os
@@ -17,7 +27,33 @@ from gangealing_tpu.models.stn import (
     ComposedSTNConfig, composed_stn_forward, composed_uncongeal_points)
 from gangealing_tpu.apps.common import determine_flips
 from gangealing_tpu.data.prepare import nchw_center_crop
-from gangealing_tpu.utils.vis import splat_points, save_video, load_dense_label
+from gangealing_tpu.utils.vis import (
+    splat_points, save_video, load_dense_label, images2grid, get_colorscale,
+    load_pil)
+
+_INACTIVE_ALPHA = 0.2  # dimming factor for inactive clusters (reference :86)
+
+
+def _save_frame_png(frame_chw, path):
+    """Write one (C, H, W) [-1, 1] frame as a PNG."""
+    from PIL import Image
+    arr = ((np.asarray(frame_chw) + 1.0) * 127.5).clip(0, 255)
+    Image.fromarray(arr.transpose(1, 2, 0).astype(np.uint8)).save(path)
+
+
+def _labeled_average_images(average_path, num_heads, points_per_cluster,
+                            resolution, sigma, opacity):
+    """Splat each cluster's label onto its average congealed image
+    (reference create_average_image_vis, :58-70). Average images are named
+    ...cluster0.png, ...cluster1.png, etc."""
+    imgs = []
+    for k in range(num_heads):
+        path = average_path.replace("cluster0", f"cluster{k}")
+        avg = load_pil(path, resolution=resolution)
+        imgs.append(splat_points(avg, points_per_cluster[k].astype(
+            jnp.float32), sigma=sigma, opacity=opacity,
+            colorscale=get_colorscale(k)))
+    return jnp.concatenate(imgs, 0)  # (K, C, H, W)
 
 
 def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
@@ -28,29 +64,63 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
                             classifier=None, cluster=None,
                             no_flip_inference=False, out_dir=None, fps=30,
                             objects=True, save_correspondences=False,
-                            resolution=None):
-    """frames: (T, C, H, W) numpy in [-1, 1] (any H, W; center-cropped to
-    square). Returns dict with 'propagated' and 'congealed' (T, C, S, S)
-    arrays; writes mp4s when out_dir is given."""
-    frames = np.asarray(frames)
-    if frames.shape[-1] != frames.shape[-2]:
-        frames, _ = nchw_center_crop(frames)
-    T, C, S, _ = frames.shape
+                            resolution=None, save_frames=False,
+                            average_path=None):
+    """frames: (T, C, H, W) numpy in [-1, 1], or a list of image file paths
+    (loaded lazily per batch; any H, W — center-cropped to square).
+
+    Returns dict with 'propagated' and 'congealed' (T, C, S, S) arrays
+    (omitted when save_frames=True — frames go straight to disk); writes
+    propagated.mp4 / congealed.mp4 (+ average.mp4 for clustering models with
+    average_path) when out_dir is given."""
+    lazy_paths = None
+    if isinstance(frames, (list, tuple)) and frames and isinstance(
+            frames[0], str):
+        lazy_paths = list(frames)
+        T = len(lazy_paths)
+    else:
+        frames = np.asarray(frames)
+        if frames.shape[-1] != frames.shape[-2]:
+            frames, _ = nchw_center_crop(frames)
+        T = frames.shape[0]
+
+    if save_frames:
+        assert out_dir is not None, "save_frames=True requires out_dir"
+        os.makedirs(os.path.join(out_dir, "frames"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "congealing_frames"), exist_ok=True)
 
     if points is None and label_path is not None and objects:
         points, colors, alphas = load_dense_label(
             label_path, resolution=resolution, load_colors=True)
 
     cls_args = {}
+    clustering = classifier is not None and cfg.num_heads > 1
     if classifier is not None:
         cls_args = dict(classifier_params=classifier[0],
                         classifier_cfg=classifier[1], cluster=cluster)
 
-    propagated, congealed, correspondences = [], [], []
+    averages = None
+    if clustering and average_path is not None and points is not None:
+        pts_per_cluster = [points] * cfg.num_heads  # single shared label
+        averages = _labeled_average_images(
+            average_path, cfg.num_heads, pts_per_cluster,
+            resolution, sigma, opacity)
+        inactive_averages = averages * _INACTIVE_ALPHA - (1 - _INACTIVE_ALPHA)
+
+    propagated, congealed, correspondences, average_frames = [], [], [], []
+    frame_index = 0
     for s in range(0, T, batch):
-        fb = jnp.asarray(frames[s:s + batch])
+        if lazy_paths is not None:
+            from gangealing_tpu.data.prepare import load_frame_paths
+            fb_np = load_frame_paths(lazy_paths[s:s + batch])
+            if fb_np.shape[-1] != fb_np.shape[-2]:
+                fb_np, _ = nchw_center_crop(fb_np)
+            fb = jnp.asarray(fb_np)
+        else:
+            fb = jnp.asarray(frames[s:s + batch])
         n = fb.shape[0]
-        flipped, flip_idx, warp_policy, _ = determine_flips(
+        S = fb.shape[-1]
+        flipped, flip_idx, warp_policy, clusters = determine_flips(
             params, cfg, fb, no_flip_inference=no_flip_inference,
             iters=iters, padding_mode=padding_mode, **cls_args)
         if objects and points is not None:
@@ -70,7 +140,12 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
                 colors=jnp.tile(colors, (n, 1, 1)),
                 alpha_channel=jnp.tile(alphas, (n, 1, 1)),
                 blend_alg=blend_alg)
-            propagated.append(np.asarray(out))
+            if save_frames:
+                for j in range(n):
+                    _save_frame_png(out[j], os.path.join(
+                        out_dir, "frames", f"{frame_index + j}.png"))
+            else:
+                propagated.append(np.asarray(out))
             if save_correspondences:
                 correspondences.append(np.asarray(prop_pts))
         cong, _, _, _, _ = composed_stn_forward(
@@ -78,23 +153,60 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
             padding_mode=padding_mode,
             warp_policy=(warp_policy if classifier is not None
                          else "cartesian"))
-        congealed.append(np.asarray(cong[:n]))
-    result = {"congealed": np.concatenate(congealed, 0)}
-    if propagated:
-        result["propagated"] = np.concatenate(propagated, 0)
+        if save_frames:
+            for j in range(n):
+                _save_frame_png(cong[j], os.path.join(
+                    out_dir, "congealing_frames", f"{frame_index + j}.png"))
+        else:
+            congealed.append(np.asarray(cong[:n]))
+        if averages is not None:
+            # cluster-activity frames: highlight the active cluster
+            one_hot = jnp.eye(cfg.num_heads, dtype=bool)[clusters]
+            for j in range(n):
+                mask = one_hot[j].reshape(-1, 1, 1, 1)
+                current = jnp.where(mask, averages, inactive_averages)
+                average_frames.append(images2grid(
+                    np.asarray(current), normalize=True, range=(-1, 1),
+                    pad_value=-1.0,
+                    nrow=max(1, int(np.ceil(cfg.num_heads ** 0.5)))))
+        frame_index += n
+
+    result = {}
+    if not save_frames:
+        result["congealed"] = np.concatenate(congealed, 0)
+        if propagated:
+            result["propagated"] = np.concatenate(propagated, 0)
     if correspondences:
         result["correspondences"] = np.concatenate(correspondences, 0)
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
-        if "propagated" in result:
-            save_video(jnp.asarray(result["propagated"]), fps,
-                       os.path.join(out_dir, "propagated.mp4"),
+        if save_frames:
+            import cv2
+            for sub, name in (("frames", "propagated.mp4"),
+                              ("congealing_frames", "congealed.mp4")):
+                files = [os.path.join(out_dir, sub, f"{i}.png")
+                         for i in range(T)]
+                files = [f for f in files if os.path.isfile(f)]
+                if files:
+                    imgs = (cv2.imread(f)[:, :, ::-1] for f in files)
+                    save_video(list(imgs), fps,
+                               os.path.join(out_dir, name),
+                               input_is_tensor=False)
+        else:
+            if "propagated" in result:
+                save_video(jnp.asarray(result["propagated"]), fps,
+                           os.path.join(out_dir, "propagated.mp4"),
+                           input_is_tensor=True)
+            save_video(jnp.asarray(result["congealed"]), fps,
+                       os.path.join(out_dir, "congealed.mp4"),
                        input_is_tensor=True)
-        save_video(jnp.asarray(result["congealed"]), fps,
-                   os.path.join(out_dir, "congealed.mp4"),
-                   input_is_tensor=True)
+        if average_frames:
+            save_video(average_frames, fps,
+                       os.path.join(out_dir, "average.mp4"))
         if save_correspondences:
             import torch
             torch.save(torch.from_numpy(result["correspondences"]),
                        os.path.join(out_dir, "correspondences.pt"))
+    if average_frames:
+        result["average_frames"] = average_frames
     return result

@@ -20,6 +20,12 @@ def main():
     parser.add_argument("--cluster", default=None, type=int)
     parser.add_argument("--fps", default=30, type=int)
     parser.add_argument("--max_frames", default=None, type=int)
+    parser.add_argument("--save_frames", action="store_true",
+                        help="stream per-frame PNGs to disk instead of "
+                             "holding the whole video in memory")
+    parser.add_argument("--average_path", default=None, type=str,
+                        help="path to the cluster0 average congealed image "
+                             "(clustering models; adds average.mp4)")
     args = parser.parse_args()
 
     from gangealing_tpu.apps.common import load_stn
@@ -30,7 +36,16 @@ def main():
                       load_classifier=True)
     params, cfg, cls_params, cls_cfg = loaded
     classifier = (cls_params, cls_cfg) if cls_params is not None else None
-    frames = load_video_frames(args.video_path, max_frames=args.max_frames)
+    import os
+    if args.save_frames and os.path.isdir(args.video_path):
+        # lazy path list: frames are loaded one batch at a time
+        from gangealing_tpu.data.prepare import list_frame_paths
+        frames = list_frame_paths(args.video_path)
+        if args.max_frames is not None:
+            frames = frames[:args.max_frames]
+    else:
+        frames = load_video_frames(args.video_path,
+                                   max_frames=args.max_frames)
     run_gangealing_on_video(
         params, cfg, frames, label_path=args.label_path, sigma=args.sigma,
         opacity=args.opacity, blend_alg=args.blend_alg, iters=args.iters,
@@ -39,7 +54,8 @@ def main():
         no_flip_inference=args.no_flip_inference, out_dir=args.out,
         fps=args.fps, objects=args.objects or args.label_path is not None,
         save_correspondences=args.save_correspondences,
-        resolution=args.resolution)
+        resolution=args.resolution, save_frames=args.save_frames,
+        average_path=args.average_path)
     print(f"Videos written to {args.out}")
 
 

@@ -18,6 +18,10 @@ def main():
     p.add_argument("--spair_category", type=str, default=None)
     p.add_argument("--spair_split", type=str, default="test")
     p.add_argument("--cub_acsm", action="store_true")
+    p.add_argument("--workers", type=int, default=None,
+                   help="decode/resize/encode threads "
+                        "(default: min(8, cpus); reference "
+                        "prepare_data.py:253-314 uses a worker pool)")
     args = p.parse_args()
 
     from gangealing_tpu.data.prepare import create_dataset
@@ -25,7 +29,8 @@ def main():
                    format=args.format, pattern=args.pattern,
                    max_images=args.max_images,
                    spair_category=args.spair_category,
-                   spair_split=args.spair_split, cub_acsm=args.cub_acsm)
+                   spair_split=args.spair_split, cub_acsm=args.cub_acsm,
+                   workers=args.workers)
 
 
 if __name__ == "__main__":

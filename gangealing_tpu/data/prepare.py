@@ -316,13 +316,61 @@ def resize_and_convert(img, size, pad, quality=100, format="jpeg", bbox=None):
     return buf.getvalue()
 
 
+def _encode_file(f, bbox, sizes, pad, format):
+    """Decode + resize + encode one image at every size; None on failure."""
+    from PIL import Image
+    try:
+        img = Image.open(f).convert("RGB")
+        return [resize_and_convert(img, s, pad, format=format, bbox=bbox)
+                for s in sizes]
+    except Exception as e:  # corrupted image -> skip (prepare_data:308)
+        print(f"skipping image {f}: {e}")
+        return None
+
+
+def _encode_bytes(data, sizes, pad, format):
+    """Decode raw encoded bytes + resize + encode; None on failure."""
+    from PIL import Image
+    try:
+        try:
+            import cv2
+            arr = cv2.imdecode(np.frombuffer(data, np.uint8), 1)
+            if arr is None:
+                raise IOError("cv2.imdecode failed")
+            img = Image.fromarray(arr[:, :, ::-1])
+        except Exception:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+        return [resize_and_convert(img, s, pad, format=format)
+                for s in sizes]
+    except Exception as e:
+        print(f"skipping image: {e}")
+        return None
+
+
+def _parallel_map(fn, jobs, workers):
+    """Ordered map over jobs with a thread pool (PIL/cv2 codecs release the
+    GIL, so threads parallelize the decode/resize/encode work — the
+    capability of the reference's multiprocessing pool,
+    prepare_data.py:253-314, without pickling overhead)."""
+    if workers and workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(fn, jobs))
+    return [fn(j) for j in jobs]
+
+
+def default_build_workers():
+    return min(8, os.cpu_count() or 1)
+
+
 def create_dataset(out, path, size, pad="zero", format="jpeg",
                    input_is_lmdb=False, pattern="*.png", max_images=None,
                    spair_category=None, spair_split=None, cub_acsm=False,
-                   files=None, bboxes=None, progress=True):
+                   files=None, bboxes=None, progress=True, workers=None):
     """Build a multi-resolution LMDB (prepare_data.py:317-384).
-    ``size`` may be an int or comma-separated list of ints."""
-    from PIL import Image
+    ``size`` may be an int or comma-separated list of ints. ``workers``
+    threads parallelize decode/resize/encode (default: min(8, cpus));
+    output is byte-identical to the sequential build."""
     sizes = [int(s.strip()) for s in str(size).split(",")]
     os.makedirs(out, exist_ok=True)
     if files is None:
@@ -342,27 +390,24 @@ def create_dataset(out, path, size, pad="zero", format="jpeg",
     if max_images is not None:
         files, bboxes = files[:max_images], bboxes[:max_images]
 
+    if workers is None:
+        workers = default_build_workers()
+    results = _parallel_map(
+        lambda job: _encode_file(job[0], job[1], sizes, pad, format),
+        list(zip(files, bboxes)), workers)
+
     items = {}
     total = 0
-    skipped = 0
-    for i, (f, bbox) in enumerate(zip(files, bboxes)):
-        try:
-            img = Image.open(f).convert("RGB")
-            encs = [resize_and_convert(img, s, pad, format=format, bbox=bbox)
-                    for s in sizes]
-        except Exception as e:  # corrupted image -> skip (prepare_data:308)
-            print(f"skipping image {f}: {e}")
-            skipped += 1
+    for encs in results:
+        if encs is None:
             continue
         for s, enc in zip(sizes, encs):
-            items[f"{s}-{str(i - skipped).zfill(5)}".encode()] = enc
+            items[f"{s}-{str(total).zfill(5)}".encode()] = enc
         total += 1
-        if progress and (i + 1) % 500 == 0:
-            print(f"\rprepared {i + 1}/{len(files)}", end="", flush=True)
     items[b"length"] = str(total).encode()
     write_lmdb(out, items)
     if progress:
-        print(f"\nFinal dataset size: {total}")
+        print(f"Final dataset size: {total}")
     return total
 
 
@@ -377,37 +422,28 @@ def lmdb_file_iterator(lmdb_path, max_images=None):
 
 
 def create_dataset_from_lmdb(out, lmdb_path, size, pad="center",
-                             format="jpeg", max_images=None, progress=True):
+                             format="jpeg", max_images=None, progress=True,
+                             workers=None):
     """Build a multi-resolution LMDB from an input LMDB of encoded images
-    (the LSUN path of prepare_data.py:292-331)."""
-    from PIL import Image
+    (the LSUN path of prepare_data.py:292-331). Raw bytes are fetched in the
+    main thread; decode/resize/encode runs on ``workers`` threads."""
     from gangealing_tpu.data.lmdb_io import LMDBReader, write_lmdb
     sizes = [int(s.strip()) for s in str(size).split(",")]
     os.makedirs(out, exist_ok=True)
     reader = LMDBReader(lmdb_path)
     keys = lmdb_file_iterator(lmdb_path, max_images)
+    if workers is None:
+        workers = default_build_workers()
+    raw = [reader.get(k) for k in keys]
+    results = _parallel_map(
+        lambda data: _encode_bytes(data, sizes, pad, format), raw, workers)
     items = {}
     total = 0
-    skipped = 0
-    for i, k in enumerate(keys):
-        data = reader.get(k)
-        try:
-            try:
-                import cv2
-                arr = cv2.imdecode(np.frombuffer(data, np.uint8), 1)
-                if arr is None:
-                    raise IOError("cv2.imdecode failed")
-                img = Image.fromarray(arr[:, :, ::-1])
-            except Exception:
-                img = Image.open(io.BytesIO(data)).convert("RGB")
-            encs = [resize_and_convert(img, s, pad, format=format)
-                    for s in sizes]
-        except Exception as e:
-            print(f"skipping image {k!r}: {e}")
-            skipped += 1
+    for encs in results:
+        if encs is None:
             continue
         for s, enc in zip(sizes, encs):
-            items[f"{s}-{str(i - skipped).zfill(5)}".encode()] = enc
+            items[f"{s}-{str(total).zfill(5)}".encode()] = enc
         total += 1
     items[b"length"] = str(total).encode()
     write_lmdb(out, items)
@@ -416,10 +452,48 @@ def create_dataset_from_lmdb(out, lmdb_path, size, pad="center",
     return total
 
 
-def load_video_frames(path, max_frames=None, resolution=None):
-    """Decode a video file into (T, C, H, W) float frames in [-1, 1]
-    (the process_video.sh capability, via cv2 instead of ffmpeg)."""
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def list_frame_paths(directory):
+    """Sorted image paths in a frame directory (numeric-aware: 2.png before
+    10.png). Mirrors the reference's frames/<index>.png layout
+    (mixed_reality.py:258-259)."""
+    import re
+
+    def key(name):
+        nums = re.findall(r"\d+", name)
+        return (int(nums[-1]) if nums else 0, name)
+
+    names = [n for n in os.listdir(directory)
+             if n.lower().endswith(_IMAGE_EXTS)]
+    return [os.path.join(directory, n) for n in sorted(names, key=key)]
+
+
+def load_frame_paths(paths, resolution=None):
+    """Load image files into (T, C, H, W) float frames in [-1, 1]."""
     import cv2
+    frames = []
+    for p in paths:
+        frame = cv2.imread(p, cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR -> RGB
+        if resolution is not None:
+            frame = cv2.resize(frame, (resolution, resolution),
+                               interpolation=cv2.INTER_AREA)
+        frames.append(frame)
+    arr = np.stack(frames).astype(np.float32) / 255.0
+    return (arr * 2 - 1).transpose(0, 3, 1, 2)
+
+
+def load_video_frames(path, max_frames=None, resolution=None):
+    """Decode a video file — or a directory of frames — into (T, C, H, W)
+    float frames in [-1, 1] (the process_video.sh capability, via cv2
+    instead of ffmpeg)."""
+    import cv2
+    if os.path.isdir(path):
+        paths = list_frame_paths(path)
+        if max_frames is not None:
+            paths = paths[:max_frames]
+        return load_frame_paths(paths, resolution=resolution)
     cap = cv2.VideoCapture(path)
     frames = []
     while True:

@@ -86,3 +86,63 @@ def test_propagate_to_images(params, tmp_path, rng):
     assert out["average_congealed"].shape == (1, 3, S, S)
     assert out["propagated"].shape == (4, 3, S, S)
     assert os.path.exists(tmp_path / "prop" / "propagated.png")
+
+
+def test_mixed_reality_save_frames_and_dir_input(params, tmp_path, rng):
+    """--save_frames streaming mode (PNGs on disk, mp4 assembled from files)
+    + frame-directory lazy input (mixed_reality.py:213-216,258-262)."""
+    from PIL import Image
+    from gangealing_tpu.apps.mixed_reality import run_gangealing_on_video
+    from gangealing_tpu.data.prepare import list_frame_paths
+
+    label = _label_png(tmp_path, rng)
+    # write a frame directory (numeric filenames, out of lexicographic order)
+    fdir = tmp_path / "framedir"
+    fdir.mkdir()
+    for i in range(5):
+        arr = (rng.rand(S, S, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(fdir / f"{i}.png"))
+    paths = list_frame_paths(str(fdir))
+    assert [os.path.basename(p) for p in paths] == [f"{i}.png"
+                                                    for i in range(5)]
+    out_dir = str(tmp_path / "mr")
+    result = run_gangealing_on_video(
+        params, CFG, paths, label_path=label, batch=2, out_dir=out_dir,
+        no_flip_inference=True, save_frames=True, fps=5)
+    assert "congealed" not in result  # streamed, not held in memory
+    for i in range(5):
+        assert os.path.isfile(os.path.join(out_dir, "frames", f"{i}.png"))
+        assert os.path.isfile(os.path.join(out_dir, "congealing_frames",
+                                           f"{i}.png"))
+    assert os.path.getsize(os.path.join(out_dir, "propagated.mp4")) > 0
+    assert os.path.getsize(os.path.join(out_dir, "congealed.mp4")) > 0
+
+
+def test_mixed_reality_cluster_activity_video(tmp_path, rng):
+    """average.mp4 for clustering models: labeled averages with the active
+    cluster highlighted (mixed_reality.py:58-70,245-256)."""
+    from PIL import Image
+    from gangealing_tpu.apps.mixed_reality import run_gangealing_on_video
+    from gangealing_tpu.models.classifier import (ClassifierConfig,
+                                                  classifier_init)
+
+    K = 2
+    ccfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
+                             supersize=S, channel_multiplier=0.25,
+                             flow_downsample=4, max_channels=32, num_heads=K)
+    cparams = composed_stn_init(jax.random.PRNGKey(1), ccfg)
+    cls_cfg = ClassifierConfig(size=S, supersize=S, channel_multiplier=0.25,
+                               num_heads=K, max_channels=32)
+    cls_params = classifier_init(jax.random.PRNGKey(2), cls_cfg)
+    label = _label_png(tmp_path, rng)
+    for k in range(K):
+        arr = (rng.rand(S, S, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"avg_cluster{k}.png"))
+    frames = np.tanh(rng.randn(3, 3, S, S).astype(np.float32))
+    out_dir = str(tmp_path / "mrc")
+    result = run_gangealing_on_video(
+        cparams, ccfg, frames, label_path=label, batch=1, out_dir=out_dir,
+        classifier=(cls_params, cls_cfg), fps=5, resolution=S,
+        average_path=str(tmp_path / "avg_cluster0.png"))
+    assert len(result["average_frames"]) == 3
+    assert os.path.getsize(os.path.join(out_dir, "average.mp4")) > 0

@@ -113,3 +113,36 @@ def test_infinite_loader(image_lmdb):
                         infinite=True)
     batches = [next(it) for _ in range(7)]  # crosses an epoch boundary
     assert all(b.shape == (4, 3, res, res) for b in batches)
+
+
+def test_parallel_builder_matches_sequential(tmp_path):
+    """create_dataset with a worker pool must produce byte-identical LMDBs
+    to the sequential build, including skip/compaction semantics for corrupt
+    images (reference prepare_data.py:253-314 parallel workers + :308 skip).
+    NB: this CI box has 1 CPU so only correctness (not wall-clock) is
+    asserted; on multi-core hosts the pool parallelizes decode/encode."""
+    import numpy as np
+    from PIL import Image
+    from gangealing_tpu.data.prepare import create_dataset
+    from gangealing_tpu.data.lmdb_io import LMDBReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(20):
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            str(src / f"{i:05d}.png"))
+    # one corrupt file in the middle: must be skipped and indices compacted
+    (src / "00010.png").write_bytes(b"not an image")
+
+    n1 = create_dataset(str(tmp_path / "seq"), str(src), "64,32",
+                        workers=1, progress=False)
+    n2 = create_dataset(str(tmp_path / "par"), str(src), "64,32",
+                        workers=8, progress=False)
+    assert n1 == n2 == 19
+    r1 = LMDBReader(str(tmp_path / "seq"))
+    r2 = LMDBReader(str(tmp_path / "par"))
+    for s in (64, 32):
+        for i in range(19):
+            k = f"{s}-{str(i).zfill(5)}".encode()
+            assert r1.get(k) == r2.get(k)
