@@ -142,3 +142,84 @@ def import_torchvision_squeezenet(state_dict) -> Params:
             out["net.slice_all." + ".".join(parts[1:])] = \
                 jnp.asarray(np.asarray(v, np.float32))
     return out
+
+
+# --- ResNet (lpips_backbones.py:143-185) -------------------------------------
+# torchvision resnet18/34 (BasicBlock) and resnet50 (Bottleneck), eval-mode
+# batchnorm. The reference's `resnet` wrapper exposes 5 slices:
+# relu1 (post conv1+bn1+relu), conv2..conv5 (post layer1..layer4).
+# NB: the reference defines this backbone but never wires it into the LPIPS
+# chns dispatch (lpips.py:142-150) — it is a standalone feature extractor.
+
+RESNET18_CHANNELS = [64, 64, 128, 256, 512]
+_RESNET_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3)}
+
+
+def _bn(params, prefix, x, eps=1e-5):
+    g = params[f"{prefix}.weight"].reshape(1, -1, 1, 1)
+    b = params[f"{prefix}.bias"].reshape(1, -1, 1, 1)
+    m = params[f"{prefix}.running_mean"].reshape(1, -1, 1, 1)
+    v = params[f"{prefix}.running_var"].reshape(1, -1, 1, 1)
+    return (x - m) * jax.lax.rsqrt(v + eps) * g + b
+
+
+def _convbn(params, prefix, bn_prefix, x, stride=1, padding=0):
+    w = params[f"{prefix}.weight"]
+    return _bn(params, bn_prefix, conv2d(x, w, stride=stride,
+                                         padding=padding))
+
+
+def _basic_block(params, prefix, x, stride):
+    out = jax.nn.relu(_convbn(params, f"{prefix}.conv1", f"{prefix}.bn1", x,
+                              stride=stride, padding=1))
+    out = _convbn(params, f"{prefix}.conv2", f"{prefix}.bn2", out, padding=1)
+    if f"{prefix}.downsample.0.weight" in params:
+        x = _convbn(params, f"{prefix}.downsample.0",
+                    f"{prefix}.downsample.1", x, stride=stride)
+    return jax.nn.relu(out + x)
+
+
+def _bottleneck(params, prefix, x, stride):
+    out = jax.nn.relu(_convbn(params, f"{prefix}.conv1", f"{prefix}.bn1", x))
+    out = jax.nn.relu(_convbn(params, f"{prefix}.conv2", f"{prefix}.bn2",
+                              out, stride=stride, padding=1))
+    out = _convbn(params, f"{prefix}.conv3", f"{prefix}.bn3", out)
+    if f"{prefix}.downsample.0.weight" in params:
+        x = _convbn(params, f"{prefix}.downsample.0",
+                    f"{prefix}.downsample.1", x, stride=stride)
+    return jax.nn.relu(out + x)
+
+
+def resnet_features(params: Params, x, num=18, prefix="net"):
+    """The 5 reference slices of a torchvision ResNet (relu1, conv2..conv5)."""
+    block = _basic_block if num in (18, 34) else _bottleneck
+    layers = _RESNET_LAYERS[num]
+    h = conv2d(x, params[f"{prefix}.conv1.weight"], stride=2, padding=3)
+    h = jax.nn.relu(_bn(params, f"{prefix}.bn1", h))
+    outs = [h]
+    # torch maxpool(3, 2, padding=1): pad with -inf then VALID window
+    h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1)),
+                constant_values=-jnp.inf)
+    h = _maxpool(h)
+    for li, nblocks in enumerate(layers, start=1):
+        for bi in range(nblocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            h = block(params, f"{prefix}.layer{li}.{bi}", h, stride)
+        outs.append(h)
+    return outs
+
+
+def import_torchvision_resnet(state_dict, prefix="net") -> Params:
+    """torchvision resnet state_dict (optionally nested under 'net.'/'net.net.')
+    -> our flat param dict."""
+    out: Params = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        kk = k
+        while kk.startswith("net."):
+            kk = kk[4:]
+        if kk.startswith("fc.") or kk.endswith("num_batches_tracked"):
+            continue
+        out[f"{prefix}.{kk}"] = jnp.asarray(np.asarray(v, np.float32))
+    return out

@@ -12,8 +12,12 @@ Capability reference: utils/distributed.py:6-162. The mapping:
   primary()              -> jax.process_index() == 0
 
 On a single controller (one host, N chips) collectives never need explicit
-calls: jit + shardings compile to ICI collectives. The helpers below cover
-the multi-host (DCN) cases and the host-side gathers used by eval apps.
+calls: jit + shardings compile to ICI collectives. The helpers below also
+carry the multi-host (DCN) layouts — shard_batch assembles global arrays
+from per-process shards and all_gather_hosts crosses processes — but note
+the reference itself is single-node (torchrun, one machine) and our
+multi-host paths are exercised only on a single-process virtual mesh in CI,
+not on real multi-host DCN hardware.
 """
 
 from typing import Optional, Sequence
@@ -44,12 +48,21 @@ def replicated_sharding(mesh: Mesh):
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place a (global-batch-leading) pytree onto the mesh, leading axis
-    sharded. Equivalent of DistributedSampler's rank striding — but layout
-    is contiguous blocks per device."""
+    """Place a batch pytree onto the mesh, leading axis sharded. Equivalent
+    of DistributedSampler's rank striding — but layout is contiguous blocks
+    per device.
+
+    Single process: ``batch`` is the global batch (device_put lays it out).
+    Multi process: ``batch`` is this process's LOCAL shard — the global
+    array is assembled from all processes' shards without any cross-host
+    transfer (jax.make_array_from_process_local_data)."""
+    multi = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(
-            x, data_sharding(mesh, np.ndim(x), axis_name))
+        sh = data_sharding(mesh, np.ndim(x), axis_name)
+        if multi:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
     return jax.tree.map(put, batch)
 
 

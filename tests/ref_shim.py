@@ -104,9 +104,48 @@ def _build_torchvision():
                 _Fire(256, 48, 192, 192), _Fire(384, 48, 192, 192),
                 _Fire(384, 64, 256, 256), _Fire(512, 64, 256, 256))
 
+    class _BasicBlock(nn.Module):
+        def __init__(self, inp, out, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inp, out, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(out)
+            self.relu = nn.ReLU(True)
+            self.conv2 = nn.Conv2d(out, out, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(out)
+            self.downsample = None
+            if stride != 1 or inp != out:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(inp, out, 1, stride, bias=False),
+                    nn.BatchNorm2d(out))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + idn)
+
+    class _ResNet(nn.Module):
+        def __init__(self, layers):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(True)
+            self.maxpool = nn.MaxPool2d(3, 2, padding=1)
+            widths = [64, 128, 256, 512]
+            inp = 64
+            for li, (n, w) in enumerate(zip(layers, widths), start=1):
+                blocks = []
+                for bi in range(n):
+                    stride = 2 if (li > 1 and bi == 0) else 1
+                    blocks.append(_BasicBlock(inp, w, stride))
+                    inp = w
+                setattr(self, f"layer{li}", nn.Sequential(*blocks))
+
     tvm.vgg16 = lambda pretrained=False, **k: _VGG16()
     tvm.alexnet = lambda pretrained=False, **k: _AlexNet()
     tvm.squeezenet1_1 = lambda pretrained=False, **k: _SqueezeNet11()
+    tvm.resnet18 = lambda pretrained=False, **k: _ResNet((2, 2, 2, 2))
+    tvm.resnet34 = lambda pretrained=False, **k: _ResNet((3, 4, 6, 3))
 
     # transforms: the minimal surface datasets/__init__.py touches
     class _Compose:

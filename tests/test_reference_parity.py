@@ -365,3 +365,30 @@ def test_pck_protocol_parity(ref_stn, our_stn, both_ways, with_thresh):
                         permutation=perm, batch_size=4)
     assert_close(np.asarray(ours, np.float32), ref, tol=1e-5,
                  name=f"pck both_ways={both_ways} thresh={with_thresh}")
+
+
+def test_resnet_backbone_parity(rng):
+    """Reference resnet feature extractor (lpips_backbones.py:143-185) vs
+    ours on shared weights (eval-mode batchnorm, all 5 slices)."""
+    from models.losses.lpips_backbones import resnet as ref_resnet
+    from gangealing_tpu.models.lpips_backbones import (
+        resnet_features, import_torchvision_resnet)
+
+    torch.manual_seed(0)
+    ref = ref_resnet(pretrained=False, num=18).eval()
+    # randomize BN running stats so the eval-mode normalization is exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0, 0.2)
+    params = import_torchvision_resnet(ref.net.state_dict())
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x))
+    outs = resnet_features(params, jnp.asarray(x), num=18)
+    assert len(outs) == 5
+    for i, (o, r) in enumerate(zip(outs, ref_outs)):
+        assert_close(o, r, tol=5e-4, name=f"resnet slice {i}")
