@@ -65,7 +65,7 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
                             no_flip_inference=False, out_dir=None, fps=30,
                             objects=True, save_correspondences=False,
                             resolution=None, save_frames=False,
-                            average_path=None):
+                            average_path=None, overlay_congealed=False):
     """frames: (T, C, H, W) numpy in [-1, 1], or a list of image file paths
     (loaded lazily per batch; any H, W — center-cropped to square).
 
@@ -153,6 +153,17 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
             padding_mode=padding_mode,
             warp_policy=(warp_policy if classifier is not None
                          else "cartesian"))
+        if overlay_congealed and points is not None:
+            # overlay the input label on the congealed frames
+            # (reference mixed_reality.py:245-252)
+            from gangealing_tpu.models.stn import convert_points
+            res = resolution or S
+            cong_pts = (convert_points(points, res, S) if res != S
+                        else points)
+            cong = splat_points(
+                cong, jnp.tile(cong_pts, (n, 1, 1)), sigma=sigma,
+                opacity=opacity, colors=jnp.tile(colors, (n, 1, 1)),
+                alpha_channel=jnp.tile(alphas, (n, 1, 1)))
         if save_frames:
             for j in range(n):
                 _save_frame_png(cong[j], os.path.join(

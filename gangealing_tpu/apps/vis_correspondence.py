@@ -212,7 +212,11 @@ def _smooth_stage(grid_to, grid_from, data, length, nrow, points=None,
     (vis_correspondence.py:184-208). Returns (frames, tracked_points(T,N,P,2),
     congealed_images(T,N,C,R,R), final_patch_centers)."""
     from gangealing_tpu.ops.mipmap import mipmap_warp
-    patch_size = get_patch_size(length)
+    # cap the NN window at the grid extent — the heuristic explodes for tiny
+    # lengths (get_patch_size(4) = 541) and a window larger than the grid
+    # searches everything anyway
+    R = grid_to.shape[1]
+    patch_size = min(get_patch_size(length), (R // 2) * 2 + 1)
     frames, out_points, out_images = [], [], []
     for fi in range(length):
         a = 1.0 - 0.5 * (1.0 + np.cos(np.pi * fi / (length - 1)))

@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--average_path", default=None, type=str,
                         help="path to the cluster0 average congealed image "
                              "(clustering models; adds average.mp4)")
+    parser.add_argument("--overlay_congealed", action="store_true",
+                        help="overlay the input dense label on the "
+                             "congealed video")
     args = parser.parse_args()
 
     from gangealing_tpu.apps.common import load_stn
@@ -55,7 +58,8 @@ def main():
         fps=args.fps, objects=args.objects or args.label_path is not None,
         save_correspondences=args.save_correspondences,
         resolution=args.resolution, save_frames=args.save_frames,
-        average_path=args.average_path)
+        average_path=args.average_path,
+        overlay_congealed=args.overlay_congealed)
     print(f"Videos written to {args.out}")
 
 

@@ -189,8 +189,19 @@ def _build_torchvision():
     tvdu.extract_archive = _unavailable
 
 
+def _missing(name):
+    """True if the real package is not installed (stub only then — a stub
+    must never shadow a real package for the rest of the test session)."""
+    import importlib.util
+    try:
+        return importlib.util.find_spec(name) is None
+    except (ImportError, ValueError):
+        return name not in sys.modules
+
+
 def install():
-    """Install stubs and put /root/reference on sys.path. Idempotent."""
+    """Install stubs (for missing packages only) and put /root/reference on
+    sys.path. Idempotent."""
     if getattr(install, "_done", False):
         return
     install._done = True
@@ -207,10 +218,10 @@ def install():
         torch.Tensor.cuda = lambda self, *a, **k: self
         torch.nn.Module.cuda = lambda self, *a, **k: self
 
-    if "torchvision" not in sys.modules:
+    if _missing("torchvision"):
         _build_torchvision()
 
-    if "sklearn" not in sys.modules:
+    if _missing("sklearn"):
         sk = _stub_module("sklearn")
         skd = _stub_module("sklearn.decomposition")
         sk.decomposition = skd
@@ -222,12 +233,12 @@ def install():
         skd.IncrementalPCA = _IncrementalPCA
         skd.PCA = _IncrementalPCA
 
-    if "lmdb" not in sys.modules:
+    if _missing("lmdb"):
         lm = _stub_module("lmdb")
         lm.open = lambda *a, **k: (_ for _ in ()).throw(
             RuntimeError("lmdb stub"))
 
-    if "ray" not in sys.modules:
+    if _missing("ray"):
         ray = _stub_module("ray")
 
         class _Remote:
@@ -244,23 +255,23 @@ def install():
         ray.get = lambda x: x
         ray.put = lambda x: x
 
-    if "moviepy" not in sys.modules:
+    if _missing("moviepy"):
         mp = _stub_module("moviepy")
         mpe = _stub_module("moviepy.editor")
         mp.editor = mpe
         mpe.ImageSequenceClip = lambda *a, **k: (_ for _ in ()).throw(
             RuntimeError("moviepy stub"))
 
-    if "termcolor" not in sys.modules:
+    if _missing("termcolor"):
         tc = _stub_module("termcolor")
         tc.colored = lambda text, *a, **k: text
 
-    if "pandas" not in sys.modules:
+    if _missing("pandas"):
         pd = _stub_module("pandas")
         pd.read_csv = lambda *a, **k: (_ for _ in ()).throw(
             RuntimeError("pandas stub"))
 
-    if "plotly" not in sys.modules:
+    if _missing("plotly"):
         pl = _stub_module("plotly")
         go = _stub_module("plotly.graph_objects")
         pc = _stub_module("plotly.colors")

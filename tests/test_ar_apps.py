@@ -32,6 +32,7 @@ def _label_png(tmp_path, rng):
     return p
 
 
+@pytest.mark.slow
 def test_propagate_object_identity(params, rng):
     """Identity STN: congealed points land at their own coordinates."""
     N, P = 2, 40
@@ -118,6 +119,7 @@ def test_mixed_reality_save_frames_and_dir_input(params, tmp_path, rng):
     assert os.path.getsize(os.path.join(out_dir, "congealed.mp4")) > 0
 
 
+@pytest.mark.slow
 def test_mixed_reality_cluster_activity_video(tmp_path, rng):
     """average.mp4 for clustering models: labeled averages with the active
     cluster highlighted (mixed_reality.py:58-70,245-256)."""

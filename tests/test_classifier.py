@@ -18,6 +18,7 @@ CLS_CFG = ClassifierConfig(size=S, supersize=S, channel_multiplier=0.25,
                            num_heads=4, max_channels=32)  # K=2 clusters x 2
 
 
+@pytest.mark.slow
 def test_classifier_forward_and_helpers(rng):
     params = classifier_init(jax.random.PRNGKey(0), CLS_CFG)
     x = jnp.asarray(rng.randn(3, 3, S, S).astype(np.float32))
@@ -70,6 +71,7 @@ def test_reverse_topk():
     assert float(reverse_topk_accuracy(distances, logits, k=2)) == 1.0
 
 
+@pytest.mark.slow
 def test_classifier_training_step(rng):
     from gangealing_tpu.models.stylegan2 import (
         GeneratorConfig, generator_init)

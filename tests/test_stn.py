@@ -96,6 +96,7 @@ def test_point_normalization_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cluster_cartesian_and_assign(rng):
     cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
                             supersize=S, channel_multiplier=0.25,

@@ -111,6 +111,7 @@ def test_conv_layer_and_resblock_shapes(rng):
     assert out.shape == (2, 32, 16, 16)
 
 
+@pytest.mark.slow
 def test_generator_shapes_and_determinism():
     cfg = GeneratorConfig(size=64, style_dim=64, n_mlp=2, channel_multiplier=1)
     key = jax.random.PRNGKey(0)

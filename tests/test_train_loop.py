@@ -89,6 +89,7 @@ def test_cold_start_clustering(tmp_path):
                            np.asarray(ll_params["coefficients"][1]))
 
 
+@pytest.mark.slow
 def test_kmeans_plusplus_tiny():
     from gangealing_tpu.train.clustering import kmeans_plusplus
     g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
@@ -157,6 +158,7 @@ def test_adam_state_import_shape_guard():
                                 params)
 
 
+@pytest.mark.slow
 def test_optimizer_roundtrip_through_torch_export(tmp_path):
     """Train 2 steps -> export torch ckpt with Adam moments -> re-import ->
     moments identical."""

@@ -75,6 +75,7 @@ def test_train_step_updates_params():
         np.testing.assert_allclose(e1, expect, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_freeze_ll():
     cfg, state, step = _setup()
     cfg2 = TrainConfig(**{**cfg.__dict__, "freeze_ll": True})
@@ -89,6 +90,7 @@ def test_train_step_freeze_ll():
                                   np.asarray(new_state["ll"]["coefficients"]))
 
 
+@pytest.mark.slow
 def test_cluster_train_step():
     cfg, state, step = _setup(num_heads=2, flips=True)
     z = jax.random.normal(jax.random.PRNGKey(3), (4, 32))

@@ -41,6 +41,7 @@ def test_laplacian_blend_masks(rng):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_extend_object_border(rng):
     img = jnp.zeros((1, 3, 32, 32)).at[:, :, 14:18, 14:18].set(1.0)
     mask = jnp.zeros((1, 1, 32, 32)).at[:, :, 14:18, 14:18].set(1.0)

@@ -65,6 +65,7 @@ def test_bucket_by_cluster(rng):
     assert sum(len(b) for b in buckets) == 6
 
 
+@pytest.mark.slow
 def test_smoothly_congeal_and_propagate(params, tmp_path, rng):
     """The assembled dense-tracking pipeline: bidirectional consistency,
     splat_batch chunking, three mp4s (vis_correspondence.py:226-298)."""
