@@ -50,6 +50,7 @@ def test_propagate_object_identity(params, rng):
     assert float(jnp.max(mask)) > 0.5  # points landed in-bounds
 
 
+@pytest.mark.slow
 def test_mixed_reality(params, tmp_path, rng):
     from gangealing_tpu.apps.mixed_reality import run_gangealing_on_video
     label = _label_png(tmp_path, rng)

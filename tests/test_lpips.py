@@ -72,6 +72,7 @@ def test_lpips_distance_properties(rng, tv_features):
     assert d_ssl.shape == (4, 1, 1, 1)
 
 
+@pytest.mark.slow
 def test_vgg_rand_init_runs():
     params = vgg16_init(jax.random.PRNGKey(0))
     x = jnp.zeros((1, 3, 32, 32))

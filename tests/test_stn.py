@@ -122,6 +122,7 @@ def test_forward_with_flip(rng):
     assert flips.shape == (2, 1, 1, 1)
 
 
+@pytest.mark.slow
 def test_match_flows(rng):
     params = composed_stn_init(jax.random.PRNGKey(0), COMP_CFG)
     imgA, imgB = _img(rng), _img(rng)
@@ -182,6 +183,7 @@ def test_supersize_downsampling_path(rng):
     assert out2.shape == (2, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_stn_jit_and_grad(rng):
     params = composed_stn_init(jax.random.PRNGKey(0), COMP_CFG)
     x = _img(rng)

@@ -129,6 +129,7 @@ def test_generator_shapes_and_determinism():
     assert img3.shape == (2, 3, 64, 64)
 
 
+@pytest.mark.slow
 def test_generator_w_plus_input():
     """The latent-learner path feeds a full (N, n_latent, 512) W+ tensor."""
     cfg = GeneratorConfig(size=32, style_dim=32, n_mlp=2, channel_multiplier=1)

@@ -33,6 +33,7 @@ def _l2(params, x, y):
     return jnp.mean((x - y) ** 2, axis=(1, 2, 3), keepdims=True)
 
 
+@pytest.mark.slow
 def test_full_loop_and_checkpoints(tmp_path):
     cfg = TrainConfig(g=G_CFG, t=T_CFG, ll=LL_CFG, batch=8, iter=3,
                       anneal_psi=2, period=1, tv_weight=10.0,
