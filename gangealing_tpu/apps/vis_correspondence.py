@@ -296,7 +296,8 @@ def smoothly_congeal_and_propagate(params, cfg: ComposedSTNConfig, images,
                                    opacity=0.7, splat_batch=100,
                                    no_flip_inference=False, objects=False,
                                    out_dir=None, fps=60,
-                                   classifier=None, cluster=None):
+                                   classifier=None, cluster=None,
+                                   stage_flip=False, flip_length=40):
     """The reference's flagship correspondence video
     (vis_correspondence.py:226-298): smoothly animate identity -> congealing
     warp; if a dense label is given, track its pixels through the animation
@@ -370,6 +371,27 @@ def smoothly_congeal_and_propagate(params, cfg: ComposedSTNConfig, images,
     congealed_frames = []
     propagated_points = []
     congealed_images = []
+    initial_propagation_frames = []
+    if stage_flip:
+        # animate identity -> mirror before the first warp stage
+        # (reference make_flip_frames, vis_correspondence.py:161-163,261-271)
+        flip_frames, _, _, _ = _smooth_stage(flipping_grid, ident, data,
+                                             flip_length, nrow,
+                                             padding_mode=padding_mode)
+        congealed_frames.extend(flip_frames)
+        if label_path is not None:
+            from gangealing_tpu.ops.mipmap import mipmap_warp
+            unclamped = unnormalize_points(unaligned_norm, R, R)
+            splatted = splat_points(
+                mipmap_warp(data, ident, padding_mode=padding_mode),
+                unclamped, sigma=sigma, opacity=opacity,
+                colors=(jnp.tile(colors, (N, 1, 1)) if objects
+                        and colors is not None else None),
+                alpha_channel=jnp.tile(alpha_channels, (N, 1, 1)))
+            prop_flip_frames, _, _, _ = _smooth_stage(
+                flipping_grid, ident, splatted, flip_length, nrow,
+                padding_mode=padding_mode)
+            initial_propagation_frames = prop_flip_frames
     for i in range(num_stages):
         frames_i, pts_i, imgs_i, patch_centers = _smooth_stage(
             grids[i + 1], grids[i], data, length, nrow, tracked,
@@ -397,6 +419,7 @@ def smoothly_congeal_and_propagate(params, cfg: ComposedSTNConfig, images,
         propagation_frames = visualize_label_propagation(
             imgs_cat, pts_cat, colors if objects else None, alpha_channels,
             N, R, sigma=sigma, opacity=opacity, splat_batch=splat_batch,
+            initial_frames=initial_propagation_frames,
             out_path=(os.path.join(out_dir, "smoothly_propagate.mp4")
                       if out_dir else None), fps=fps)
         visualize_correspondence(

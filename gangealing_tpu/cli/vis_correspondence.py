@@ -30,6 +30,9 @@ def main():
     parser.add_argument("--splat_batch", default=100, type=int,
                         help="chunk size for the splatting op")
     parser.add_argument("--vis_in_stages", action="store_true")
+    parser.add_argument("--stage_flip", action="store_true",
+                        help="animate the mirror flip before the first warp")
+    parser.add_argument("--flip_length", default=40, type=int)
     parser.add_argument("--objects", action="store_true",
                         help="load RGB values from the label")
     parser.add_argument("--cluster", default=None, type=int)
@@ -59,7 +62,8 @@ def main():
             sigma=args.sigma, opacity=args.opacity,
             splat_batch=args.splat_batch,
             no_flip_inference=args.no_flip_inference, objects=args.objects,
-            out_dir=args.out, fps=args.fps, cluster=args.cluster)
+            out_dir=args.out, fps=args.fps, cluster=args.cluster,
+            stage_flip=args.stage_flip, flip_length=args.flip_length)
         print(f"Wrote videos to {args.out}/")
         return
     out = f"{args.out}/{args.mode}.mp4"

@@ -134,3 +134,23 @@ def test_bidirectional_tracking_pins_congealed_end(params, tmp_path, rng):
     expected = np.round(np.asarray(points)[0])
     final = captured["pts"][-1]  # (N, P, 2) at the fully-congealed frame
     assert np.allclose(final, expected[None], atol=1e-4)
+
+
+def test_stage_flip_frames(params, tmp_path, rng):
+    """--stage_flip prepends flip-animation frames (and labeled initial
+    propagation frames) before the warp stages (vis_correspondence.py:261-271)."""
+    from PIL import Image
+    from gangealing_tpu.apps.vis_correspondence import (
+        smoothly_congeal_and_propagate)
+    rgba = np.zeros((S, S, 4), np.uint8)
+    rgba[8:16, 8:16] = [0, 255, 0, 255]
+    label = str(tmp_path / "l.png")
+    Image.fromarray(rgba).save(label)
+    imgs = np.tanh(rng.randn(2, 3, S, S).astype(np.float32))
+    congeal_frames, prop_frames = smoothly_congeal_and_propagate(
+        params, CFG, imgs, label_path=label, length=3, flip_length=2,
+        stage_flip=True, output_resolution=S, resolution=S,
+        no_flip_inference=True)
+    assert len(congeal_frames) == 2 + 3   # flip frames + one stage
+    # propagation video: stage frames (reversed) + initial flip frames
+    assert len(prop_frames) == 3 + 2
