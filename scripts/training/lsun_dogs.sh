@@ -1,0 +1,9 @@
+#!/bin/bash
+# One TPU host drives all local chips; --batch is the GLOBAL batch
+# (the reference uses 8 GPUs x per-GPU batch 5 = 40).
+# Reference: scripts/training/lsun_dogs.sh
+python -m gangealing_tpu.cli.train \
+    --ckpt dog.pt --load_G_only --padding_mode border --tv_weight 2500 \
+    --vis_every 5000 --ckpt_every 50000 --iter 1500000 \
+    --loss_fn lpips --exp-name lsun_dogs --real_data_path data/lsun_dogs \
+    --perceptual_weights pretrained/lpips_vgg_v0.1.pt
