@@ -120,9 +120,20 @@ def conv_layer(params: Params, prefix: str, x, kernel_size, downsample=False,
         p = (len(blur_kernel) - 2) + (kernel_size - 1)
         pad0 = (p + 1) // 2
         pad1 = p // 2
-        x = blur(x, blur_kernel, pad=(pad0, pad1))
+        if kernel_size == 1:
+            # 1x1 stride-2 conv after a blur only reads the blur's even
+            # pixels — fold the stride into the FIR (upfirdn2d down=2):
+            # identical values at ~1/3 the depthwise work and half the
+            # intermediate traffic. (ResBlock skip path.)
+            from gangealing_tpu.ops.resample import make_kernel, upfirdn2d
+            x = upfirdn2d(x, make_kernel(blur_kernel), down=2,
+                          pad=(pad0, pad1))
+            stride = 1
+        else:
+            x = blur(x, blur_kernel, pad=(pad0, pad1))
+            stride = 2
         idx += 1  # Blur occupies Sequential slot 0 (buffer only)
-        stride, padding = 2, 0
+        padding = 0
     else:
         stride, padding = 1, kernel_size // 2
     conv_prefix = f"{prefix}.{idx}"
