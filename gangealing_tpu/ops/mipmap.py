@@ -196,8 +196,8 @@ def _mipmap_warp_banded(inputs, grid, num_levels, levels, padding_mode,
     # warps of a composed STN (both sample the same source image).
     coords = jax.lax.optimization_barrier(coords)
     out = mipmap_sample(coords, stack_t, W, C, precision=precision,
-                        interpret=interpret)  # (N, P, C)
-    return out.transpose(0, 2, 1).reshape(N, C, Ho, Wo).astype(inputs.dtype)
+                        interpret=interpret)  # (N, C, P)
+    return out.reshape(N, C, Ho, Wo).astype(inputs.dtype)
 
 
 @partial(jax.jit, static_argnames=("max_num_levels", "padding_mode",

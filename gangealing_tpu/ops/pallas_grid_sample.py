@@ -38,7 +38,7 @@ def _iota_f32(shape, dim):
 
 
 def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, PB, compute_dtype):
-    # coords: (1, PB, 2) f32; img: (1, H, C*W); out: (1, PB, C)
+    # coords: (1, PB, 2) f32; img: (1, H, C*W); out: (1, C, PB)
     x = coords_ref[0, :, 0]  # (PB,)
     y = coords_ref[0, :, 1]
     hh = _iota_f32((PB, H), 1)
@@ -52,8 +52,12 @@ def _fwd_kernel(coords_ref, img_ref, out_ref, *, H, W, C, PB, compute_dtype):
                    precision=mm_precision)  # (PB, C*W)
     ww = _iota_f32((PB, W), 1)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ww))  # (PB, W)
-    rows = rows.reshape(PB, C, W)
-    out_ref[0] = jnp.sum(rows * wx[:, None, :].astype(rows.dtype), axis=2)
+    # W-contraction per 128-aligned channel group: a (PB, C*W) -> (PB, C, W)
+    # reshape is a Mosaic relayout of the whole rows block (measured ~7ms at
+    # batch 128) — lane slices + lane reductions avoid it entirely.
+    outs = [jnp.sum(rows[:, c * W:(c + 1) * W] * wx, axis=1)
+            for c in range(C)]
+    out_ref[0] = jnp.stack(outs, axis=0)  # (C, PB)
 
 
 def _dimg_kernel(coords_ref, dout_ref, dimg_ref, *, H, W, C, PB,
@@ -70,7 +74,8 @@ def _dimg_kernel(coords_ref, dout_ref, dimg_ref, *, H, W, C, PB,
     ww = _iota_f32((PB, W), 1)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ww))  # (PB, W)
     dout = dout_ref[0]  # (PB, C)
-    B = (dout[:, :, None] * wx[:, None, :]).reshape(PB, C * W)
+    B = jnp.concatenate([dout[:, c:c + 1] * wx for c in range(C)],
+                        axis=1)  # (PB, C*W), no relayout
     hhT = _iota_f32((H, PB), 0)
     wyT = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, :] - hhT))  # (H, PB)
     mm_precision = (jax.lax.Precision.HIGHEST
@@ -104,8 +109,9 @@ def _dcoords_kernel(coords_ref, img_ref, dout_ref, dc_ref, *, H, W, C, PB,
     # d/dx: C_[p, w] = sum_c dout[p, c] * (WY @ img)[p, c, w]
     rows = jnp.dot(wy.astype(compute_dtype), img.astype(compute_dtype),
                    preferred_element_type=jnp.float32,
-                   precision=mm_precision).reshape(PB, C, W)
-    C_ = jnp.sum(rows * dout[:, :, None], axis=1)  # (PB, W)
+                   precision=mm_precision)  # (PB, C*W)
+    C_ = sum(rows[:, c * W:(c + 1) * W] * dout[:, c:c + 1]
+             for c in range(C))  # (PB, W), lane slices avoid the relayout
     # Right-derivative convention (torch/XLA): at integer x the active pair
     # is (floor(x), floor(x)+1), so dwx = -1 on [0,1) and +1 on [-1,0).
     dwx = (jnp.where((dx_w >= -1.0) & (dx_w < 0.0), 1.0, 0.0)
@@ -113,7 +119,7 @@ def _dcoords_kernel(coords_ref, img_ref, dout_ref, dc_ref, *, H, W, C, PB,
     dx = jnp.sum(dwx * C_, axis=1)  # (PB,)
 
     # d/dy: A[p, h] = sum_cw (dout x wx)[p, cw] * img[h, cw]
-    B = (dout[:, :, None] * wx[:, None, :]).reshape(PB, C * W)
+    B = jnp.concatenate([dout[:, c:c + 1] * wx for c in range(C)], axis=1)
     A = jax.lax.dot_general(B.astype(compute_dtype),
                             img.astype(compute_dtype),
                             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -140,9 +146,9 @@ def _pallas_sample(coords, img_t, H, W, C, PB, compute_dtype, interpret):
             pl.BlockSpec((1, H, C * W), lambda n, p: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PB, C), lambda n, p: (n, p, 0),
+        out_specs=pl.BlockSpec((1, C, PB), lambda n, p: (n, 0, p),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, P_pad, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, C, P_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * P_pad * H * C * W,
             bytes_accessed=N * (H * C * W * 4 + P_pad * (2 + C) * 4),
@@ -170,9 +176,15 @@ def _sample_core_bwd(H, W, C, PB, interpret_precision, residuals, g):
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     coords, img_t = residuals
     N, P_pad, _ = coords.shape
-    g = g.astype(jnp.float32)
-    # bwd uses a smaller block: _dcoords holds img+rows+B in VMEM at once
+    # fwd emits (N, C, P_pad); the bwd kernels consume per-point (PB, C)
+    # dout blocks, so transpose the cotangent once here (cheap XLA copy).
+    g = g.astype(jnp.float32).transpose(0, 2, 1)
+    # bwd uses a smaller block: _dcoords holds img+rows+B in VMEM at once;
+    # halve until the scratch estimate fits scoped VMEM (wide C*W otherwise
+    # blows the 16M limit, e.g. the 12-channel folded mipmap path)
     PBB = min(PB, 256)
+    while PBB > 64 and H * C * W * 4 + 3 * PBB * C * W * 4 > 10 * 2 ** 20:
+        PBB //= 2
     dimg = pl.pallas_call(
         functools.partial(_dimg_kernel, H=H, W=W, C=C, PB=PBB,
                           compute_dtype=dtype),
@@ -254,7 +266,7 @@ def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
     # coordinate transform into per-block pallas operand reads.
     coords = jax.lax.optimization_barrier(coords)
     out = _sample_core(coords, img_t, H, W, C, PB, (precision, interpret))
-    out = out[:, :P].transpose(0, 2, 1).reshape(N, C, Ho, Wo)
+    out = out[..., :P].reshape(N, C, Ho, Wo)  # fwd emits (N, C, P_pad)
     return out.astype(input.dtype)
 
 
@@ -264,8 +276,8 @@ grid_sample_mxu_diff = grid_sample_mxu
 
 def mxu_kernel_fits(input, point_block=512):
     """Feasibility check: VMEM budget for the kernel's blocks, plus Mosaic
-    layout constraints (the (PB, C*W) -> (PB, C, W) shape cast requires the
-    lane dimension W to be a multiple of 128)."""
+    layout constraints (per-channel lane slices of the (PB, C*W) rows block
+    require the group width W to be a multiple of the 128-lane tile)."""
     N, C, H, W = input.shape
     if W % 128 != 0 or H % 8 != 0:
         return False

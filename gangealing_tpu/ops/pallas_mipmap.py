@@ -70,7 +70,7 @@ def _multi_tent_wy(coords, PB, R):
 
 
 def _fwd_kernel(coords_ref, img_ref, out_ref, *, R, W, C, PB, compute_dtype):
-    # coords: (1, PB, 16) f32; img: (1, R, C*W); out: (1, PB, C)
+    # coords: (1, PB, 16) f32; img: (1, R, C*W); out: (1, C, PB)
     x = coords_ref[0, :, 0]
     wy = _multi_tent_wy(coords_ref, PB, R)
     img = img_ref[0]  # (R, C*W)
@@ -82,8 +82,12 @@ def _fwd_kernel(coords_ref, img_ref, out_ref, *, R, W, C, PB, compute_dtype):
                    precision=mm_precision)  # (PB, C*W)
     ww = _iota_f32((PB, W), 1)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ww))  # (PB, W)
-    rows = rows.reshape(PB, C, W)
-    out_ref[0] = jnp.sum(rows * wx[:, None, :].astype(rows.dtype), axis=2)
+    # W-contraction per 128-aligned channel group: a (PB, C*W) -> (PB, C, W)
+    # reshape is a Mosaic relayout of the whole rows block (measured ~7ms at
+    # batch 128) — lane slices + lane reductions avoid it entirely.
+    outs = [jnp.sum(rows[:, c * W:(c + 1) * W] * wx, axis=1)
+            for c in range(C)]
+    out_ref[0] = jnp.stack(outs, axis=0)  # (C, PB)
 
 
 def _dimg_kernel(coords_ref, dout_ref, dimg_ref, *, R, W, C, PB,
@@ -99,7 +103,8 @@ def _dimg_kernel(coords_ref, dout_ref, dimg_ref, *, R, W, C, PB,
     ww = _iota_f32((PB, W), 1)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - ww))
     dout = dout_ref[0]  # (PB, C)
-    B = (dout[:, :, None] * wx[:, None, :]).reshape(PB, C * W)
+    B = jnp.concatenate([dout[:, c:c + 1] * wx for c in range(C)],
+                        axis=1)  # (PB, C*W), no relayout
     wy = _multi_tent_wy(coords_ref, PB, R)  # (PB, R)
     mm_precision = (jax.lax.Precision.HIGHEST
                     if compute_dtype == jnp.float32
@@ -129,8 +134,9 @@ def _dcoords_kernel(coords_ref, img_ref, dout_ref, dc_ref, *, R, W, C, PB,
     # d/dx: C_[p, w] = sum_c dout[p, c] * (WY @ img)[p, c, w]
     rows = jnp.dot(wy.astype(compute_dtype), img.astype(compute_dtype),
                    preferred_element_type=jnp.float32,
-                   precision=mm_precision).reshape(PB, C, W)
-    C_ = jnp.sum(rows * dout[:, :, None], axis=1)  # (PB, W)
+                   precision=mm_precision)  # (PB, C*W)
+    C_ = sum(rows[:, c * W:(c + 1) * W] * dout[:, c:c + 1]
+             for c in range(C))  # (PB, W), lane slices avoid the relayout
     # Right-derivative convention (torch/XLA): at integer x the active pair
     # is (floor(x), floor(x)+1), so dwx = -1 on [0,1) and +1 on [-1,0).
     dwx = (jnp.where((dx_w >= -1.0) & (dx_w < 0.0), 1.0, 0.0)
@@ -138,7 +144,7 @@ def _dcoords_kernel(coords_ref, img_ref, dout_ref, dc_ref, *, R, W, C, PB,
     dx = jnp.sum(dwx * C_, axis=1)  # (PB,)
 
     # A[p, r] = sum_cw (dout x wx)[p, cw] * img[r, cw]
-    B = (dout[:, :, None] * wx[:, None, :]).reshape(PB, C * W)
+    B = jnp.concatenate([dout[:, c:c + 1] * wx for c in range(C)], axis=1)
     A = jax.lax.dot_general(B.astype(compute_dtype),
                             img.astype(compute_dtype),
                             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -184,9 +190,9 @@ def _mt_sample_core(coords, img_t, R, W, C, PB, interpret_precision):
             pl.BlockSpec((1, R, C * W), lambda n, p: (n, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PB, C), lambda n, p: (n, p, 0),
+        out_specs=pl.BlockSpec((1, C, PB), lambda n, p: (n, 0, p),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, P_pad, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, C, P_pad), jnp.float32),
         flops=2 * N * P_pad * R * C * W,
         interpret=interpret)(coords, img_t)
 
@@ -201,8 +207,13 @@ def _mt_sample_bwd(R, W, C, PB, interpret_precision, residuals, g):
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     coords, img_t = residuals
     N, P_pad, _ = coords.shape
-    g = g.astype(jnp.float32)
+    # fwd emits (N, C, P_pad); the bwd kernels consume per-point (PB, C)
+    # dout blocks, so transpose the cotangent once here (cheap XLA copy).
+    g = g.astype(jnp.float32).transpose(0, 2, 1)
+    # bwd block: halve until the img+rows+B scratch estimate fits scoped VMEM
     PBB = min(PB, 256)
+    while PBB > 64 and R * C * W * 4 + 3 * PBB * C * W * 4 > 10 * 2 ** 20:
+        PBB //= 2
     dimg = _pallas_call_common(
         functools.partial(_dimg_kernel, R=R, W=W, C=C, PB=PBB,
                           compute_dtype=dtype),
@@ -241,13 +252,13 @@ def _mt_sample_bwd(R, W, C, PB, interpret_precision, residuals, g):
 _mt_sample_core.defvjp(_mt_sample_fwd, _mt_sample_bwd)
 
 
-def mipmap_sample(coords, stack_t, W, C, point_block=256, precision="bf16",
+def mipmap_sample(coords, stack_t, W, C, point_block=512, precision="bf16",
                   interpret=False):
     """Sample a band stack with per-point multi-tent row weights.
 
     coords: (N, P, 16) f32, slot layout above (built by ops/mipmap.py).
     stack_t: (N, R, C*W) band stack (level d occupies H/2^d rows).
-    Returns (N, P, C) f32. Fully differentiable (fused Pallas fwd + bwd).
+    Returns (N, C, P) f32. Fully differentiable (fused Pallas fwd + bwd).
     """
     N, P, _ = coords.shape
     _, R, CW = stack_t.shape
@@ -258,10 +269,10 @@ def mipmap_sample(coords, stack_t, W, C, point_block=256, precision="bf16",
         coords = jnp.pad(coords, ((0, 0), (0, P_pad - P), (0, 0)))
     out = _mt_sample_core(coords, stack_t, R, W, C, PB,
                           (precision, interpret))
-    return out[:, :P]
+    return out[..., :P]
 
 
-def mipmap_mxu_fits(H, W, C, num_levels, point_block=256):
+def mipmap_mxu_fits(H, W, C, num_levels, point_block=512):
     """VMEM + Mosaic layout feasibility for the band-stack kernel."""
     if W % 128 != 0 or H % 8 != 0:
         return False

@@ -1,3 +1,3 @@
 from gangealing_tpu.parallel.mesh import (
     make_mesh, data_sharding, replicated_sharding, shard_batch,
-    all_gather_hosts)
+    all_gather_hosts, replicate, pad_to_multiple)

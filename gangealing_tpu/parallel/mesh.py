@@ -67,7 +67,16 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a (host-identical) pytree over the whole mesh. Multi
+    process: every process must pass the same values; the global replicated
+    array is assembled from each process's local copy without cross-host
+    transfer (the mesh spans non-addressable devices, so device_put alone
+    would fail there)."""
     sh = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 

@@ -1,0 +1,109 @@
+"""Worker for tests/test_multiprocess.py: one GANgealing train step on a
+4-device CPU mesh, either as a single controller (4 local devices) or as one
+of two processes in a real jax.distributed cluster (2 local devices each,
+Gloo over localhost standing in for DCN).
+
+Run:  python _mp_train_worker.py single
+      python _mp_train_worker.py multi <process_id> <coordinator_port>
+
+Prints one line "METRIC p=<float> tv=<float>" on success. The multi-process
+path exercises exactly what real multi-host TPU (DCN) uses: distributed
+init, a global mesh spanning non-addressable devices, shard_batch /
+replicate assembling global arrays from process-local data, and
+all_gather_hosts crossing processes. Capability reference:
+utils/distributed.py:6-14 (setup_distributed), train.py:255-259 (DDP).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+_NDEV = "4" if sys.argv[1] == "single" else "2"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count="
+                           + _NDEV)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    mode = sys.argv[1]
+    if mode == "multi":
+        pid, port = int(sys.argv[2]), sys.argv[3]
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=2, process_id=pid)
+        assert jax.process_count() == 2
+    assert len(jax.devices()) == 4, jax.devices()
+
+    import numpy as np
+    import jax.numpy as jnp
+    from gangealing_tpu.models.stylegan2 import (
+        GeneratorConfig, generator_init)
+    from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_init
+    from gangealing_tpu.models.latent_learner import (
+        LatentLearnerConfig, latent_learner_init)
+    from gangealing_tpu.models.lpips import vgg16_init, lpips_distance
+    from gangealing_tpu.train.state import (
+        TrainConfig, init_train_state, make_train_step)
+    from gangealing_tpu.parallel import (
+        make_mesh, shard_batch, replicate, all_gather_hosts)
+
+    g_cfg = GeneratorConfig(size=64, style_dim=32, n_mlp=2,
+                            channel_multiplier=1, max_channels=32)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=64,
+                              supersize=64, channel_multiplier=0.25,
+                              flow_downsample=4, max_channels=32)
+    ll_cfg = LatentLearnerConfig(n_comps=2, inject_index=3,
+                                 n_latent=g_cfg.n_latent, num_heads=1,
+                                 style_dim=32)
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=4,
+                      tv_weight=1000.0, flow_identity_weight=1.0,
+                      anneal_psi=100, period=50, loss_fn="vgg_ssl")
+
+    g_params = generator_init(jax.random.PRNGKey(0), g_cfg)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), t_cfg)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
+    vgg_params = vgg16_init(jax.random.PRNGKey(3))
+
+    def perceptual_fn(p, x, y):
+        return lpips_distance(p, x, y, use_lins=False) / 18.0
+
+    mesh = make_mesh()
+    state = replicate(mesh, init_train_state(t_params, ll_params))
+    g_params = replicate(mesh, g_params)
+    vgg_params = replicate(mesh, vgg_params)
+
+    # Global batch of 4 z's, one per device. Multi process: each process
+    # contributes only ITS two rows (contiguous-block layout of shard_batch).
+    z_global = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (4, g_cfg.style_dim)))
+    if mode == "multi":
+        pid = jax.process_index()
+        z = shard_batch(mesh, z_global[2 * pid:2 * pid + 2])
+    else:
+        z = shard_batch(mesh, z_global)
+
+    step = make_train_step(cfg, g_params, vgg_params, perceptual_fn,
+                           donate=False)
+    new_state, metrics = step(state, z, jax.random.PRNGKey(5),
+                              jnp.float32(0.9), jnp.float32(1e-3),
+                              jnp.float32(1e-2))
+    jax.block_until_ready(new_state)
+    p, tv = float(metrics["p"]), float(metrics["tv"])
+    assert np.isfinite(p) and np.isfinite(tv)
+
+    if mode == "multi":
+        # every process must see the same (psum-reduced) loss, and the
+        # host-gather helper must cross processes
+        got = all_gather_hosts(np.asarray([p], np.float32))
+        assert got.shape[0] == 2, got.shape
+        assert abs(got[0] - got[1]) < 1e-6, got
+    print(f"METRIC p={p:.8f} tv={tv:.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
