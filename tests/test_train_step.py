@@ -100,6 +100,7 @@ def test_cluster_train_step():
     assert np.isfinite(float(metrics["p"]))
 
 
+@pytest.mark.slow
 def test_train_step_sharded_8_devices():
     assert jax.device_count() == 8
     mesh = make_mesh()
