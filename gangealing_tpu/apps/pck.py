@@ -151,6 +151,60 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
     return correct / max(kps_seen, 1.0)
 
 
+def vis_transfer(params, cfg, loader, permutation=None, out_dir="visuals",
+                 num_to_vis=8, match_flows=True, iters=1,
+                 padding_mode="border"):
+    """Save a keypoint-transfer visualization PNG (applications/pck.py:77-100):
+    ground-truth keypoints overlaid on images A next to the transferred
+    estimates on images B (both in their ORIGINAL, unflipped orientation),
+    plus a grid of the congealed images."""
+    import os
+    from gangealing_tpu.utils.vis import batch_overlay, images2grid, save_image
+    from gangealing_tpu.models.stn import composed_stn_forward
+
+    d = next(iter(loader))
+    n = min(num_to_vis, d["imgsA"].shape[0])
+    imgsA = jnp.asarray(d["imgsA"][:n])
+    imgsB = jnp.asarray(d["imgsB"][:n])
+    kpsA_orig = jnp.asarray(d["kpsA"][:n, :, :2])
+    kpsB = jnp.asarray(d["kpsB"][:n, :, :2])
+    kwargs = dict(iters=iters, padding_mode=padding_mode)
+    if match_flows:
+        imgsA_m, imgsB_m, kpsA, _, pick = composed_match_flows(
+            params, cfg, imgsA, imgsB, kpsA_orig, kpsB,
+            permutation=permutation, **kwargs)
+    else:
+        imgsA_m, imgsB_m, kpsA = imgsA, imgsB, kpsA_orig
+        pick = jnp.zeros((n,), jnp.int32)
+    est_kpsB = composed_transfer_points(params, cfg, imgsA_m, imgsB_m,
+                                        kpsA, **kwargs)
+    W = imgsB.shape[-1]
+    est_kpsB = est_kpsB.at[..., 0].set(
+        jnp.where(pick.reshape(n, 1) > 1, W - 1 - est_kpsB[..., 0],
+                  est_kpsB[..., 0]))
+
+    imgs = jnp.concatenate([imgsA, imgsB])  # originals, pre-flip
+    kps = jnp.concatenate([kpsA_orig, est_kpsB])
+    out_path = os.path.join(out_dir, "transfers")
+    os.makedirs(out_path, exist_ok=True)
+    overlaid = batch_overlay(imgs, kps, None, out_path, unique_color=True,
+                             size=10)
+    grid = images2grid(np.stack(overlaid).transpose(0, 3, 1, 2), nrow=n,
+                       normalize=True, range=(0, 255))
+    from PIL import Image
+    grid_path = os.path.join(out_path, "transfer_grid.png")
+    Image.fromarray(grid).save(grid_path)
+
+    congealed, _, _, _, _ = composed_stn_forward(
+        params, cfg, jnp.concatenate([imgsA_m, imgsB_m]),
+        output_resolution=W, **kwargs)
+    congealed_path = os.path.join(out_path, "congealed.png")
+    save_image(np.asarray(congealed), congealed_path, nrow=n,
+               normalize=True, range=(-1, 1))
+    print(f"Saved visualization to {grid_path} and {congealed_path}")
+    return grid_path
+
+
 def run_pck(ckpt_path, data_path, alphas=(0.1, 0.05, 0.01), real_size=256,
             batch=50, iters=1, padding_mode="border", num_pairs=None,
             transfer_both_ways=False, no_flip_inference=False, seed=0):

@@ -23,16 +23,25 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
                         blend_alg="alpha", iters=1, padding_mode="border",
                         batch=8, classifier=None, cluster=None,
                         no_flip_inference=False, out_dir=None,
-                        resolution=None):
+                        resolution=None, objects=True,
+                        output_resolution=None, average_n=None):
     """images: (N, C, S, S) in [-1, 1]. Returns dict with 'congealed',
-    'average_congealed' and (if label given) 'propagated'."""
+    'average_congealed' and (if label given) 'propagated'.
+
+    objects: take propagated colors from the label's RGB channels (object
+    propagation); False splats a colorscale instead (reference
+    propagate_to_images.py --objects). output_resolution: size of the
+    congealed outputs (default: input size). average_n: number of leading
+    images averaged for 'average_congealed' (reference --n_mean)."""
+    from gangealing_tpu.utils.vis import get_colorscale
     images = np.asarray(images)
     N, C, S, _ = images.shape
+    out_res = output_resolution or S
     points = colors = alphas = None
     if label_path is not None:
         points, colors, alphas = load_dense_label(label_path,
                                                   resolution=resolution,
-                                                  load_colors=True)
+                                                  load_colors=objects)
     cls_args = {}
     if classifier is not None:
         cls_args = dict(classifier_params=classifier[0],
@@ -45,7 +54,7 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
             params, cfg, xb, no_flip_inference=no_flip_inference,
             iters=iters, padding_mode=padding_mode, **cls_args)
         cong, _, _, _, _ = composed_stn_forward(
-            params, cfg, flipped, output_resolution=S, iters=iters,
+            params, cfg, flipped, output_resolution=out_res, iters=iters,
             padding_mode=padding_mode,
             warp_policy=(warp_policy if classifier is not None
                          else "cartesian"))
@@ -60,13 +69,17 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
             prop_pts = prop_pts.at[..., 0].set(
                 jnp.where(fi, S - 1 - prop_pts[..., 0], prop_pts[..., 0]))
             out = splat_points(xb, prop_pts, sigma=sigma, opacity=opacity,
-                               colors=jnp.tile(colors, (n, 1, 1)),
+                               colors=(jnp.tile(colors, (n, 1, 1))
+                                       if colors is not None else None),
+                               colorscale=get_colorscale(cluster),
                                alpha_channel=jnp.tile(alphas, (n, 1, 1)),
                                blend_alg=blend_alg)
             propagated.append(np.asarray(out))
     result = {"congealed": np.concatenate(congealed, 0)}
-    result["average_congealed"] = result["congealed"].mean(axis=0,
-                                                           keepdims=True)
+    avg_src = result["congealed"]
+    if average_n is not None and average_n > 0:
+        avg_src = avg_src[:average_n]
+    result["average_congealed"] = avg_src.mean(axis=0, keepdims=True)
     if propagated:
         result["propagated"] = np.concatenate(propagated, 0)
     if out_dir is not None:

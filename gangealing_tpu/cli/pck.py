@@ -17,10 +17,13 @@ def main():
     parser.add_argument("--transfer_both_ways", action="store_true")
     parser.add_argument("--num_bootstrap", default=0, type=int)
     parser.add_argument("--out", default="visuals", type=str)
+    parser.add_argument("--vis_transfer", action="store_true",
+                        help="save a PNG visualizing keypoint transfers "
+                             "(reference applications/pck.py:77-100)")
     args = parser.parse_args()
 
     from gangealing_tpu.apps.common import load_stn
-    from gangealing_tpu.apps.pck import pck_transfer
+    from gangealing_tpu.apps.pck import pck_transfer, vis_transfer
     from gangealing_tpu.data.dataset import PCKDataset, DataLoader
 
     params, cfg = load_stn(args.ckpt, supersize=args.real_size)
@@ -29,6 +32,11 @@ def main():
     num_pairs = args.num_pck_pairs or len(dset)
     loader = DataLoader(dset, batch_size=args.batch, shuffle=False,
                         drop_last=False)
+    if args.vis_transfer:
+        vis_transfer(params, cfg, loader,
+                     permutation=dset.mirror_permutation, out_dir=args.out,
+                     match_flows=not args.no_flip_inference,
+                     iters=args.iters, padding_mode=args.padding_mode)
     pck = pck_transfer(params, cfg, loader, alphas=args.alphas,
                        num_pairs=num_pairs, iters=args.iters,
                        padding_mode=args.padding_mode,

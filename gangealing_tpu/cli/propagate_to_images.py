@@ -1,4 +1,7 @@
-"""Static-image propagation CLI (reference applications/propagate_to_images)."""
+"""Static-image propagation CLI (reference applications/propagate_to_images,
+flags :108-138)."""
+
+import os
 
 import numpy as np
 
@@ -9,16 +12,39 @@ def main():
     parser = base_eval_argparse()
     parser.add_argument("--label_path", type=str, default=None)
     parser.add_argument("--out", type=str, default="visuals")
-    parser.add_argument("--sigma", default=1.2, type=float)
-    parser.add_argument("--opacity", default=1.0, type=float)
+    parser.add_argument("-s", "--sigma", default=1.3, type=float)
+    parser.add_argument("-o", "--opacity", default=0.75, type=float)
     parser.add_argument("--blend_alg", default="alpha", type=str)
+    parser.add_argument("--objects", action="store_true",
+                        help="take propagated colors from the label's RGB "
+                             "(object propagation) instead of a colorscale")
     parser.add_argument("--cluster", default=None, type=int)
-    parser.add_argument("--resolution", default=None, type=int)
+    parser.add_argument("--n_mean", type=int, default=-1,
+                        help="number of images averaged for the average "
+                             "congealed image (-1 = all)")
+    parser.add_argument("--average_path", type=str, default=None,
+                        help="path to a precomputed average aligned image; "
+                             "skips computing it")
+    parser.add_argument("--output_resolution", type=int, default=None,
+                        help="resolution of the congealed output images")
+    parser.add_argument("--resolution", default=256, type=int,
+                        help="resolution of the label / flow field")
+    parser.add_argument("--dset_indices", type=int, nargs="+", default=None,
+                        help="specific dataset indices to propagate to")
+    parser.add_argument("--flow_scores", default=None, type=str,
+                        help="path to cached flow_scores.pt for filtering")
+    parser.add_argument("--fraction_retained", default=1.0, type=float,
+                        help="fraction of the dataset retained by flow-score "
+                             "filtering")
+    parser.add_argument("--save_individual_images", action="store_true",
+                        help="save every image separately instead of only "
+                             "grids")
     parser.add_argument("--n_images", default=16, type=int)
     args = parser.parse_args()
 
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps.propagate_to_images import propagate_to_images
+    from gangealing_tpu.apps.flow_scores import filter_dataset
     from gangealing_tpu.data.dataset import MultiResolutionDataset
 
     loaded = load_stn(args.ckpt, supersize=args.real_size,
@@ -27,14 +53,39 @@ def main():
     classifier = (cls_params, cls_cfg) if cls_params is not None else None
     dset = MultiResolutionDataset(args.real_data_path,
                                   resolution=args.real_size)
-    imgs = np.stack([dset[i] for i in range(min(args.n_images, len(dset)))])
-    propagate_to_images(
+    if args.flow_scores is not None:
+        dset = filter_dataset(dset, args.flow_scores, args.fraction_retained)
+    if args.dset_indices is not None:
+        indices = list(args.dset_indices)
+    else:
+        indices = list(range(min(args.n_images, len(dset))))
+    imgs = np.stack([dset[i] for i in indices])
+    result = propagate_to_images(
         params, cfg, imgs, label_path=args.label_path, sigma=args.sigma,
         opacity=args.opacity, blend_alg=args.blend_alg, iters=args.iters,
         padding_mode=args.padding_mode, batch=args.batch,
         classifier=classifier, cluster=args.cluster,
-        no_flip_inference=args.no_flip_inference, out_dir=args.out,
-        resolution=args.resolution)
+        objects=args.objects, no_flip_inference=args.no_flip_inference,
+        out_dir=args.out, resolution=args.resolution,
+        output_resolution=args.output_resolution,
+        average_n=None if args.n_mean < 0 else args.n_mean)
+    if args.average_path is not None:
+        from PIL import Image
+        from gangealing_tpu.utils.vis import save_image
+        avg = np.asarray(Image.open(args.average_path).convert("RGB"))
+        avg = avg.astype(np.float32).transpose(2, 0, 1)[None] / 127.5 - 1.0
+        result["average_congealed"] = avg
+        save_image(avg, os.path.join(args.out, "average_congealed.png"),
+                   normalize=True, range=(-1, 1))
+    if args.save_individual_images:
+        from gangealing_tpu.utils.vis import save_image
+        for name in ("congealed", "propagated"):
+            if name not in result:
+                continue
+            for j, img in zip(indices, result[name]):
+                save_image(img[None],
+                           os.path.join(args.out, name, f"{j:05d}.png"),
+                           normalize=True, range=(-1, 1))
     print(f"Wrote visuals to {args.out}")
 
 

@@ -40,15 +40,23 @@ def main():
                         default=list(range(4)))
     parser.add_argument("--mode", default="track",
                         choices=["track", "congeal", "propagate", "average"])
+    parser.add_argument("--flow_scores", default=None, type=str,
+                        help="path to cached flow_scores.pt for filtering")
+    parser.add_argument("--fraction_retained", default=1.0, type=float,
+                        help="fraction of the dataset retained by "
+                             "flow-score filtering")
     args = parser.parse_args()
 
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps import vis_correspondence as vc
+    from gangealing_tpu.apps.flow_scores import filter_dataset
     from gangealing_tpu.data.dataset import MultiResolutionDataset
 
     params, cfg = load_stn(args.ckpt, supersize=args.real_size)
     dset = MultiResolutionDataset(args.real_data_path,
                                   resolution=args.real_size)
+    if args.flow_scores is not None:
+        dset = filter_dataset(dset, args.flow_scores, args.fraction_retained)
     idx = [i for i in args.dset_indices if i < len(dset)]
     imgs = np.stack([dset[i] for i in idx])
     os.makedirs(args.out, exist_ok=True)

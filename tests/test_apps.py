@@ -62,6 +62,20 @@ def test_pck_identity_stn_is_perfect(pck_lmdb):
     assert pck[0] > 0.95, f"identity transfer should be near-perfect: {pck}"
 
 
+def test_pck_vis_transfer(pck_lmdb, tmp_path):
+    """--vis_transfer renders the transfer grid + congealed grid PNGs."""
+    from gangealing_tpu.apps.pck import vis_transfer
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    dset = PCKDataset(pck_lmdb, resolution=S)
+    loader = DataLoader(dset, batch_size=4, shuffle=False, drop_last=False)
+    out = str(tmp_path / "vis")
+    grid_path = vis_transfer(params, CFG, loader,
+                             permutation=np.arange(5), out_dir=out,
+                             num_to_vis=2, match_flows=True)
+    assert os.path.exists(grid_path)
+    assert os.path.exists(os.path.join(out, "transfers", "congealed.png"))
+
+
 def test_pck_with_match_flows(pck_lmdb):
     from gangealing_tpu.apps.pck import pck_transfer
     params = composed_stn_init(jax.random.PRNGKey(0), CFG)
