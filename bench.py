@@ -7,7 +7,10 @@ Metrics:
      (StyleGAN2-256 G fwd + STN + vgg_ssl perceptual loss, fwd+bwd+Adam),
      reference-default architecture, global batch 40 (the reference's 8-GPU
      configuration, README.md:276-277) on ONE chip.
-  2. congeal_imgs_per_sec_per_chip_256px — forward congeal of the
+  2. pck_eval_pairs_per_sec_per_chip_256px_iters3 — PCK-Transfer eval
+     throughput at the published protocol (iters=3, 4-way match_flows,
+     bidirectional, per-image thresholds; BASELINE config #2 shape).
+  3. congeal_imgs_per_sec_per_chip_256px — forward congeal of the
      reference-default ComposedSTN (flow_size=128, channel_multiplier=0.5),
      256px inputs, batch 128 (throughput configuration; batch 40 is within
      ~7% — the per-batch number is printed for reference).
@@ -73,6 +76,45 @@ def bench_congeal():
         total = _timeit(fwd, params, imgs)
         results[batch] = batch / max(total - overhead, 1e-6)
     return results
+
+
+def bench_pck():
+    """PCK-Transfer eval throughput at the published test configuration
+    (BASELINE config #2 shape): 256px pairs, iters=3 recursion, 4-way
+    match_flows flip matching, bidirectional transfer, per-image
+    thresholds."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_init
+    from gangealing_tpu.apps.pck import make_pck_batch_fn
+
+    batch = 16
+    cfg = ComposedSTNConfig(flow_size=128, supersize=256,
+                            channel_multiplier=0.5)
+    params = composed_stn_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    imgsA = jnp.asarray(rng.randn(batch, 3, 256, 256).astype(np.float32))
+    imgsB = jnp.asarray(rng.randn(batch, 3, 256, 256).astype(np.float32))
+    kps = jnp.asarray(rng.rand(batch, 15, 2).astype(np.float32) * 255)
+    vis = jnp.ones((batch, 15, 1))
+    th = jnp.full((batch,), 100.0)
+    valid = jnp.ones((batch,))
+    fn = make_pck_batch_fn(cfg, (0.1, 0.05, 0.01), iters=3,
+                           match_flows=True, transfer_both_ways=True,
+                           permutation=np.arange(15), has_thresholds=True)
+
+    def run():
+        c, k = fn(params, imgsA, imgsB, kps, kps, vis, th, th, valid)
+        return float(c[0] + k)
+
+    run()  # compile
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    return batch / min(ts)
 
 
 def bench_train_step():
@@ -142,6 +184,13 @@ def main():
         "metric": "train_imgs_per_sec_per_chip_256px",
         "value": round(train_rate, 2),
         "unit": "imgs/s",
+        "vs_baseline": None,
+    }))
+    pck_rate = bench_pck()
+    print(json.dumps({
+        "metric": "pck_eval_pairs_per_sec_per_chip_256px_iters3",
+        "value": round(pck_rate, 2),
+        "unit": "pairs/s",
         "vs_baseline": None,
     }))
     congeal = bench_congeal()
