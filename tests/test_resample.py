@@ -206,3 +206,29 @@ def test_mipmap_warp_nonpow2(rng):
     ours = mipmap_warp(jnp.asarray(x), jnp.asarray(grid_t.numpy()))
     theirs = _torch_mipmap_warp(torch.from_numpy(x), grid_t)
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_fir_matrix_path_matches_conv_path(rng, monkeypatch):
+    """The TPU banded-matrix FIR route (upfirdn2d_general) must equal the
+    depthwise-conv route exactly for every up/down/pad combination the
+    models use. The matrix path is TPU-gated, so force it on here."""
+    import gangealing_tpu.ops.resample as rs
+    import gangealing_tpu.ops.mipmap as mm
+
+    x = jnp.asarray(rng.randn(2, 4, 32, 32).astype(np.float32))
+    monkeypatch.setenv("GANGEALING_FIR_PRECISION", "highest")
+    cases = [
+        lambda: rs.blur(x, [1, 3, 3, 1], pad=(2, 1)),
+        lambda: rs.downsample2x(x, [1, 3, 3, 1]),
+        lambda: rs.upsample2x(x, [1, 3, 3, 1]),
+        lambda: rs.upfirdn2d(x, rs.make_kernel([1, 3, 3, 1]), down=2,
+                             pad=(2, 1)),
+        lambda: rs.upfirdn2d(x, rs.make_kernel([1, 2, 1]), pad=(1, 1)),
+        lambda: mm._gaussian_blur_2x(x),
+    ]
+    for fn in cases:
+        monkeypatch.setattr(rs, "_backend_is_tpu", lambda: True)
+        a = np.asarray(fn())
+        monkeypatch.setattr(rs, "_backend_is_tpu", lambda: False)
+        b = np.asarray(fn())
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
