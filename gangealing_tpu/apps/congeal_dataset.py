@@ -85,8 +85,21 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
 
     # The reference pads each image to its own max(w, h); to batch on TPU we
     # pad the sampling image to a fixed canvas (real_size) which is the
-    # dataset's native square size for LMDB datasets.
-    fn = make_congeal_fn(cfg, real_size, output_resolution, iters=iters,
+    # dataset's native square size for LMDB datasets. real_size=0 is the
+    # reference's "native size" mode (README.md:227-232: images stored
+    # unresized under '0-' keys, each padded to its own square) — batching
+    # needs ONE canvas, so use the dataset's max square size (rounded up to
+    # a multiple of 8 for the samplers); smaller images are border-padded
+    # to their own square then bilinearly placed on the canvas, identical
+    # up to the shared sampling grid.
+    canvas = real_size
+    if not canvas:
+        canvas = 8
+        for i in range(len(dataset)):
+            w, h = dataset[i].size
+            canvas = max(canvas, w, h)
+        canvas = (canvas + 7) // 8 * 8
+    fn = make_congeal_fn(cfg, canvas, output_resolution, iters=iters,
                          padding_mode=padding_mode,
                          no_flip_inference=no_flip_inference)
     used_indices = []
@@ -101,10 +114,10 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
             size = max(w, h)
             big = _to_float(np.asarray(
                 border_pad(img, size, resize=False, to_pil=False)))
-            if big.shape[-1] != real_size:
+            if big.shape[-1] != canvas:
                 from gangealing_tpu.ops.resample import interpolate_bilinear
                 big = np.asarray(interpolate_bilinear(
-                    jnp.asarray(big[None]), real_size, real_size))[0]
+                    jnp.asarray(big[None]), canvas, canvas))[0]
             x_big.append(big)
             x_in.append(_to_float(np.asarray(
                 border_pad(img, flow_size, to_pil=False))))

@@ -135,6 +135,32 @@ def test_congeal_dataset(img_lmdb, tmp_path):
     assert x.shape == (3, S, S)
 
 
+def test_congeal_dataset_native_size(tmp_path, rng):
+    """real_size=0 = the reference's native-size mode (README.md:227-232):
+    variable-size images stored unresized under '0-' keys; the canvas is
+    derived from the dataset's max square size."""
+    from gangealing_tpu.apps.congeal_dataset import align_and_filter_dataset
+    sizes = [(48, 64), (64, 48), (56, 56), (64, 64)]
+    items = {b"length": str(len(sizes)).encode()}
+    for i, (w, h) in enumerate(sizes):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        items[f"0-{str(i).zfill(5)}".encode()] = _encode_png(img)
+    path = str(tmp_path / "native")
+    write_lmdb(path, items)
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    out = str(tmp_path / "aligned0")
+    used = align_and_filter_dataset(
+        params, CFG, path, out, real_size=0, flow_size=S,
+        output_resolution=S, batch=2, min_effective_resolution=24,
+        no_flip_inference=True)
+    # identity warp samples the whole padded square, so non-square images
+    # trip the out-of-bounds filter (the reference rejects these too,
+    # congeal_dataset.py:46,58); the square ones are retained
+    assert used == [2, 3]
+    ds = MultiResolutionDataset(out, resolution=S)
+    assert len(ds) == 2
+
+
 def test_pck_sharded_over_mesh(pck_lmdb):
     """PCK batches shard over the 8-device CPU mesh (DP inference)."""
     import jax
