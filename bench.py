@@ -117,8 +117,11 @@ def bench_pck():
     return batch / min(ts)
 
 
-def bench_train_step():
-    """One jitted train step at the reference architecture, global batch 40."""
+def bench_train_step(compute_dtype="float32"):
+    """One jitted train step at the reference architecture, global batch 40.
+
+    compute_dtype='bfloat16' runs the frozen G + VGG at the full MXU rate
+    (G is inference-only during GANgealing training; ~16% faster step)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -139,14 +142,18 @@ def bench_train_step():
                                  n_latent=g_cfg.n_latent, num_heads=1)
     cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=batch,
                       tv_weight=1000.0, flow_identity_weight=1.0,
-                      anneal_psi=100, period=50, loss_fn="vgg_ssl")
+                      anneal_psi=100, period=50, loss_fn="vgg_ssl",
+                      compute_dtype=compute_dtype)
     g_params = generator_init(jax.random.PRNGKey(0), g_cfg)
     t_params = composed_stn_init(jax.random.PRNGKey(1), t_cfg)
     ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
     vgg_params = vgg16_init(jax.random.PRNGKey(3))
 
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
     def perceptual_fn(p, x, y):
-        return lpips_distance(p, x, y, use_lins=False) / 18.0
+        return lpips_distance(p, x, y, use_lins=False,
+                              compute_dtype=dtype) / 18.0
 
     state = init_train_state(t_params, ll_params)
     step = make_train_step(cfg, g_params, vgg_params, perceptual_fn,
@@ -183,6 +190,13 @@ def main():
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_256px",
         "value": round(train_rate, 2),
+        "unit": "imgs/s",
+        "vs_baseline": None,
+    }))
+    train_bf16 = bench_train_step("bfloat16")
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip_256px_bf16",
+        "value": round(train_bf16, 2),
         "unit": "imgs/s",
         "vs_baseline": None,
     }))
