@@ -28,6 +28,10 @@ def base_training_argparse():
     p.add_argument("--batch", type=int, default=5,
                    help="per-chip batch size (global = batch * num chips)")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the newest checkpoint in the results "
+                        "dir if one exists (preemption-safe relaunch: just "
+                        "rerun the same command)")
     # GANgealing hyperparameters:
     p.add_argument("--inject", default=5, type=int)
     p.add_argument("--ndirs", default=1, type=int)

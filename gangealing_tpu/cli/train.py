@@ -24,7 +24,8 @@ from gangealing_tpu.models.lpips import (
     import_torchvision_vgg)
 from gangealing_tpu.train.state import TrainConfig, init_train_state
 from gangealing_tpu.train.loop import train_gangealing, cold_start_ll
-from gangealing_tpu.train.checkpoint import find_model, parse_start_iter
+from gangealing_tpu.train.checkpoint import (
+    find_model, parse_start_iter, latest_checkpoint)
 from gangealing_tpu.io import load_torch_checkpoint
 
 
@@ -85,6 +86,13 @@ def main():
     args.vis_batch_size //= args.num_heads
     results_path = os.path.join(args.results, args.exp_name)
     os.makedirs(results_path, exist_ok=True)
+
+    if args.auto_resume:
+        latest = latest_checkpoint(results_path)
+        if latest is not None:
+            print(f"--auto_resume: picking up from {latest}")
+            args.ckpt = latest
+            args.load_G_only = False
 
     cfg = build_configs(args)
     key = jax.random.PRNGKey(args.seed)

@@ -124,6 +124,28 @@ def export_torch(path: str, state: Dict[str, Any], g_params, args=None,
     torch.save(ckpt, path)
 
 
+def latest_checkpoint(results_path: str):
+    """Newest iteration-numbered .pt under <results>/checkpoints, or None.
+
+    Preemption-safe relaunch: rerunning the same training command with
+    --auto_resume picks up exactly where the last save left off (the
+    reference relies on torchrun restarts + a manually passed --ckpt,
+    README.md:27; this removes the manual step)."""
+    import glob
+    ckpt_dir = os.path.join(results_path, "checkpoints")
+    best = None
+    best_iter = -1
+    for p in glob.glob(os.path.join(ckpt_dir, "*.pt")):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        try:
+            i = int(stem)
+        except ValueError:
+            continue
+        if i > best_iter:
+            best, best_iter = p, i
+    return best
+
+
 def parse_start_iter(ckpt_path: str) -> int:
     """Recover the start iteration from the checkpoint filename
     (train.py:245-253)."""
