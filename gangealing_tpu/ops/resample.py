@@ -235,13 +235,51 @@ def _resize_axis_weights(in_size, out_size, dtype):
     return i0, i1, 1.0 - w1, w1
 
 
+_RESIZE_MATRIX_CACHE = {}
+
+
+def _resize_matrix(in_dim, out_dim):
+    """(out_dim, in_dim) bilinear-resize matrix (two nonzeros per row);
+    numpy mirror of _resize_axis_weights (which traces under jit)."""
+    import numpy as np
+    got = _RESIZE_MATRIX_CACHE.get((in_dim, out_dim))
+    if got is not None:
+        return got
+    # f32 arithmetic mirrors _resize_axis_weights bit-for-bit (floor
+    # boundaries must not shift between the two routes)
+    scale = np.float32(in_dim / out_dim)
+    src = (np.arange(out_dim, dtype=np.float32) + np.float32(0.5)) * scale
+    src = np.clip(src - np.float32(0.5), np.float32(0.0),
+                  np.float32(in_dim - 1))
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, in_dim - 1)
+    w1 = src - i0.astype(np.float32)
+    M = np.zeros((out_dim, in_dim), np.float32)
+    rows = np.arange(out_dim)
+    np.add.at(M, (rows, i0), 1.0 - w1)
+    np.add.at(M, (rows, i1), w1)
+    _RESIZE_MATRIX_CACHE[(in_dim, out_dim)] = M
+    return M
+
+
 def interpolate_bilinear(x, out_h, out_w):
     """Bilinear resize of (..., H, W) arrays, torch interpolate semantics
-    (align_corners=False, antialias=False). Separable gathers along H then W.
+    (align_corners=False, antialias=False). Separable; on TPU the two 1-D
+    passes run as exact (precision=highest) banded-matrix matmuls on the
+    MXU (gathers/takes lower poorly there), on CPU as weighted takes.
     """
     *lead, H, W = x.shape
     dtype = jnp.promote_types(x.dtype, jnp.float32)
     xf = x.astype(dtype)
+    if _backend_is_tpu() and (H != out_h or W != out_w):
+        y = xf.reshape((-1, H, W))
+        if H != out_h:
+            Mv = jnp.asarray(_resize_matrix(H, out_h)).astype(dtype)
+            y = jnp.matmul(Mv, y, precision="highest")
+        if W != out_w:
+            Mh = jnp.asarray(_resize_matrix(W, out_w)).astype(dtype)
+            y = jnp.matmul(y, Mh.T, precision="highest")
+        return y.reshape(tuple(lead) + (out_h, out_w)).astype(x.dtype)
     if H != out_h:
         i0, i1, w0, w1 = _resize_axis_weights(H, out_h, dtype)
         xf = (jnp.take(xf, i0, axis=-2) * w0[..., :, None]

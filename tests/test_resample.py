@@ -232,3 +232,17 @@ def test_fir_matrix_path_matches_conv_path(rng, monkeypatch):
         monkeypatch.setattr(rs, "_backend_is_tpu", lambda: False)
         b = np.asarray(fn())
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
+def test_resize_matrix_path_matches_takes(rng, monkeypatch):
+    """TPU matmul route of interpolate_bilinear == the weighted-takes route
+    exactly (up, down, and asymmetric resizes)."""
+    import gangealing_tpu.ops.resample as rs
+    x = jnp.asarray(rng.randn(2, 3, 24, 40).astype(np.float32))
+    for oh, ow in [(48, 80), (12, 20), (24, 64), (17, 40), (33, 7)]:
+        monkeypatch.setattr(rs, "_backend_is_tpu", lambda: True)
+        a = np.asarray(rs.interpolate_bilinear(x, oh, ow))
+        monkeypatch.setattr(rs, "_backend_is_tpu", lambda: False)
+        b = np.asarray(rs.interpolate_bilinear(x, oh, ow))
+        assert a.shape == b.shape == (2, 3, oh, ow)
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
