@@ -30,9 +30,16 @@ def _scalarize(x):
     return jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
 
 
-def timed_call(fn, *args, reps=8, warmup=1, **kwargs):
-    """Median-of-min wall time per call, seconds. ``fn``'s output is reduced
-    to one scalar host transfer; a null graph's time is subtracted."""
+def timed_call(fn, *args, reps=10, warmup=1, **kwargs):
+    """Wall time per call, seconds. ``fn``'s output is reduced to one scalar
+    host transfer; a null graph's time is subtracted.
+
+    Relay-noise handling: samples of fn and the null probe are INTERLEAVED
+    (relay RTT drifts over seconds, so separated batches bias the
+    difference), the estimate is the median of per-pair differences, and
+    ops below the probe's own jitter re-measure with 3x samples. Values at
+    or under the noise floor come back as 0.0 — treat those as "too small
+    to resolve through the relay", not as free."""
     jfn = jax.jit(lambda *a: _scalarize(fn(*a, **kwargs)))
 
     @jax.jit
@@ -43,15 +50,26 @@ def timed_call(fn, *args, reps=8, warmup=1, **kwargs):
         float(jfn(*args))
         float(null(*args))
 
-    def best(f):
-        ts = []
-        for _ in range(reps):
+    def sample(n):
+        diffs, nulls = [], []
+        for _ in range(n):
             t0 = time.time()
-            float(f(*args))
-            ts.append(time.time() - t0)
-        return min(ts)
+            float(null(*args))
+            t1 = time.time()
+            float(jfn(*args))
+            t2 = time.time()
+            nulls.append(t1 - t0)
+            diffs.append((t2 - t1) - (t1 - t0))
+        diffs.sort()
+        nulls.sort()
+        med = diffs[len(diffs) // 2]
+        jitter = nulls[(3 * len(nulls)) // 4] - nulls[len(nulls) // 4]
+        return med, jitter
 
-    return max(best(jfn) - best(null), 0.0)
+    med, jitter = sample(reps)
+    if med < 4 * jitter:  # too close to the probe's own noise: look harder
+        med, _ = sample(3 * reps)
+    return max(med, 0.0)
 
 
 def throughput(fn, batch_size, *args, **kwargs):
