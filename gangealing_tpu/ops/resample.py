@@ -201,15 +201,50 @@ def _tent_kernel(stride):
     return jnp.asarray(k / k.sum())
 
 
+_TENT_DOWN_MATRIX_CACHE = {}
+
+
+def _tent_down_matrix(H, stride):
+    """(H_out, H) matrix: reflect-pad stride//2 + tent-filter + stride
+    subsample along one axis (reflection folds into the matrix)."""
+    import numpy as np
+    got = _TENT_DOWN_MATRIX_CACHE.get((H, stride))
+    if got is not None:
+        return got
+    k = np.arange(1, 2 * stride + 1, 2, dtype=np.float32)
+    k = np.concatenate([k, k[::-1]])
+    k = k / k.sum()  # numpy mirror of _tent_kernel (jnp traces under jit)
+    p = stride // 2
+    Ho = (H + 2 * p - 2 * stride) // stride + 1
+    M = np.zeros((Ho, H), np.float32)
+    for h in range(Ho):
+        for t in range(2 * stride):
+            j = stride * h + t - p
+            j = -j if j < 0 else (2 * (H - 1) - j if j >= H else j)
+            M[h, j] += k[t]
+    _TENT_DOWN_MATRIX_CACHE[(H, stride)] = M
+    return M
+
+
 def bilinear_downsample(x, stride):
     """Anti-aliased integer-stride downsample with a separable tent kernel.
 
     Matches reference BilinearDownsample (antialiased_sampling.py:241-256):
-    reflection-pad stride//2, then horizontal and vertical depthwise convs.
+    reflection-pad stride//2, then horizontal and vertical depthwise convs
+    (on TPU: two banded-matrix matmuls — see _fir_matrix's rationale).
     """
     if stride == 1:
         return x
     N, C, H, W = x.shape
+    if _backend_is_tpu():
+        import os
+        Mv = jnp.asarray(_tent_down_matrix(H, stride)).astype(x.dtype)
+        Mh = jnp.asarray(_tent_down_matrix(W, stride)).astype(x.dtype)
+        prec = os.environ.get("GANGEALING_FIR_PRECISION", "default")
+        y = x.reshape(N * C, H, W)
+        y = jnp.matmul(Mv, y, precision=prec)
+        y = jnp.matmul(y, Mh.T, precision=prec)
+        return y.reshape(N, C, Mv.shape[0], Mh.shape[0])
     k = _tent_kernel(stride).astype(x.dtype)
     pad = stride // 2
     x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")

@@ -225,6 +225,8 @@ def test_fir_matrix_path_matches_conv_path(rng, monkeypatch):
                              pad=(2, 1)),
         lambda: rs.upfirdn2d(x, rs.make_kernel([1, 2, 1]), pad=(1, 1)),
         lambda: mm._gaussian_blur_2x(x),
+        lambda: rs.bilinear_downsample(x, 2),
+        lambda: rs.bilinear_downsample(x, 4),
     ]
     for fn in cases:
         monkeypatch.setattr(rs, "_backend_is_tpu", lambda: True)
