@@ -90,6 +90,23 @@ def test_propagate_to_images(params, tmp_path, rng):
     assert os.path.exists(tmp_path / "prop" / "propagated.png")
 
 
+def test_propagate_to_images_options(params, tmp_path, rng):
+    """Reference propagate flags: colorscale mode (no --objects),
+    --output_resolution, --n_mean average subset."""
+    from gangealing_tpu.apps.propagate_to_images import propagate_to_images
+    label = _label_png(tmp_path, rng)
+    imgs = rng.randn(4, 3, S, S).astype(np.float32) * 0.2
+    out = propagate_to_images(params, CFG, imgs, label_path=label, batch=2,
+                              no_flip_inference=True, objects=False,
+                              output_resolution=S // 2, average_n=2)
+    assert out["congealed"].shape == (4, 3, S // 2, S // 2)
+    assert out["average_congealed"].shape == (1, 3, S // 2, S // 2)
+    np.testing.assert_allclose(out["average_congealed"][0],
+                               out["congealed"][:2].mean(0), atol=1e-6)
+    # colorscale mode still splats something visible where the label lives
+    assert out["propagated"].shape == (4, 3, S, S)
+
+
 def test_mixed_reality_save_frames_and_dir_input(params, tmp_path, rng):
     """--save_frames streaming mode (PNGs on disk, mp4 assembled from files)
     + frame-directory lazy input (mixed_reality.py:213-216,258-262)."""
