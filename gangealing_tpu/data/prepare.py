@@ -375,8 +375,11 @@ def create_dataset(out, path, size, pad="zero", format="jpeg",
     os.makedirs(out, exist_ok=True)
     if files is None:
         if input_is_lmdb:
-            raise NotImplementedError(
-                "pass files= from an LMDBReader key walk for LMDB input")
+            # LSUN path (prepare_data.py:292-331): the input is itself an
+            # LMDB of encoded images
+            return create_dataset_from_lmdb(
+                out, path, size, pad=pad, format=format,
+                max_images=max_images, progress=progress, workers=workers)
         if cub_acsm:
             files, bboxes = load_acsm_data(path, size=sizes[0], out_path=out)
         elif spair_category is not None:

@@ -146,3 +146,24 @@ def test_parallel_builder_matches_sequential(tmp_path):
         for i in range(19):
             k = f"{s}-{str(i).zfill(5)}".encode()
             assert r1.get(k) == r2.get(k)
+
+
+def test_create_dataset_from_lmdb_input(tmp_path, rng):
+    """--input_is_lmdb: build the project LMDB from an LSUN-style LMDB of
+    encoded images (prepare_data.py:292-331 path)."""
+    from gangealing_tpu.data.prepare import create_dataset
+    from gangealing_tpu.data.dataset import MultiResolutionDataset
+    n = 5
+    src = {}
+    for i in range(n):
+        img = (rng.rand(40, 52, 3) * 255).astype(np.uint8)
+        src[f"lsunkey{i}".encode()] = _encode_png(img)
+    src_path = str(tmp_path / "src")
+    write_lmdb(src_path, src)
+    out = str(tmp_path / "built")
+    total = create_dataset(out, src_path, "32", pad="center", format="png",
+                           input_is_lmdb=True, progress=False)
+    assert total == n
+    ds = MultiResolutionDataset(out, resolution=32)
+    assert len(ds) == n
+    assert ds[0].shape == (3, 32, 32)
