@@ -63,10 +63,15 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
                              padding_mode="border", batch=16,
                              min_effective_resolution=192,
                              flow_scores_path=None, fraction_retained=1.0,
-                             no_flip_inference=False):
+                             no_flip_inference=False, mesh=None):
     """Returns sorted list of retained dataset indices; writes the aligned
-    LMDB to ``out``."""
+    LMDB to ``out``.
+
+    ``mesh``: optional 1-D device mesh — each padded batch is sharded over
+    the data axis (the reference strides images across ranks,
+    congeal_dataset.py:32; per-image accept/reject stays on host)."""
     from PIL import Image
+    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
     temp_folder = f"{out}_imagefolder"
     os.makedirs(temp_folder, exist_ok=True)
     os.makedirs(out, exist_ok=True)
@@ -94,14 +99,24 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
     # up to the shared sampling grid.
     canvas = real_size
     if not canvas:
+        import io as _io
         canvas = 8
-        for i in range(len(dataset)):
-            w, h = dataset[i].size
+        base = dataset.dataset if hasattr(dataset, "dataset") else dataset
+        idxs = (dataset.indices if hasattr(dataset, "indices")
+                else range(len(dataset)))
+        for i in idxs:
+            # header-only size read: Image.open is lazy, .size never
+            # decodes pixel data (a full decode per image would double the
+            # cost of the whole pass at LSUN scale)
+            w, h = Image.open(_io.BytesIO(base.raw_bytes(i))).size
             canvas = max(canvas, w, h)
         canvas = (canvas + 7) // 8 * 8
     fn = make_congeal_fn(cfg, canvas, output_resolution, iters=iters,
                          padding_mode=padding_mode,
                          no_flip_inference=no_flip_inference)
+    batch = round_up_batch(batch, mesh)
+    if mesh is not None:
+        params = replicate(mesh, params)
     used_indices = []
     total = 0
     n = len(dataset)
@@ -127,9 +142,14 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
             x_in += [x_in[-1]] * pad_n
             x_big += [x_big[-1]] * pad_n
             bounds += [bounds[-1]] * pad_n
-        aligned, scale, oob = fn(params, jnp.asarray(np.stack(x_in)),
-                                 jnp.asarray(np.stack(x_big)),
-                                 jnp.asarray(np.asarray(bounds, np.float32)))
+        b_in = jnp.asarray(np.stack(x_in))
+        b_big = jnp.asarray(np.stack(x_big))
+        b_bounds = jnp.asarray(np.asarray(bounds, np.float32))
+        if mesh is not None:
+            b_in, b_big, b_bounds = (shard_batch(mesh, b_in),
+                                     shard_batch(mesh, b_big),
+                                     shard_batch(mesh, b_bounds))
+        aligned, scale, oob = fn(params, b_in, b_big, b_bounds)
         aligned = np.asarray(aligned)[:len(idxs)]
         scale = np.asarray(scale)[:len(idxs)]
         oob = np.asarray(oob)[:len(idxs)]

@@ -38,21 +38,32 @@ def make_score_fn(cfg: ComposedSTNConfig, iters=1, padding_mode="border",
 def compute_flow_scores(params, cfg: ComposedSTNConfig, data_path,
                         real_size=256, batch=50, iters=1,
                         padding_mode="border", no_flip_inference=False,
-                        save=True):
-    """Returns (N,) numpy scores; optionally caches to flow_scores.pt."""
+                        save=True, mesh=None):
+    """Returns (N,) numpy scores; optionally caches to flow_scores.pt.
+
+    ``mesh``: optional 1-D device mesh — batches are sharded over the data
+    axis (the reference rank-shards this loop, flow_scores.py:33-41; here
+    each image's score is computed on one device and results read back in
+    order, so no de-interleave step is needed)."""
+    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
     dset = MultiResolutionDataset(data_path, resolution=real_size)
     loader = DataLoader(dset, batch_size=batch, shuffle=False,
                         drop_last=False)
     score_fn = make_score_fn(cfg, iters=iters, padding_mode=padding_mode,
                              no_flip_inference=no_flip_inference)
+    pad_to = round_up_batch(batch, mesh)
+    if mesh is not None:
+        params = replicate(mesh, params)
     scores = []
-    last_bs = None
     for b in loader:
         # pad the tail batch to keep a single compiled executable
         n = b.shape[0]
-        if n < batch:
-            b = np.concatenate([b, np.repeat(b[-1:], batch - n, 0)], 0)
-        s = np.asarray(score_fn(params, jnp.asarray(b)))[:n]
+        if n < pad_to:
+            b = np.concatenate([b, np.repeat(b[-1:], pad_to - n, 0)], 0)
+        xb = jnp.asarray(b)
+        if mesh is not None:
+            xb = shard_batch(mesh, xb)
+        s = np.asarray(score_fn(params, xb))[:n]
         scores.append(s)
     scores = np.concatenate(scores)[:len(dset)]
     if save:

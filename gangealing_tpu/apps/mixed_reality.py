@@ -65,9 +65,15 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
                             no_flip_inference=False, out_dir=None, fps=30,
                             objects=True, save_correspondences=False,
                             resolution=None, save_frames=False,
-                            average_path=None, overlay_congealed=False):
+                            average_path=None, overlay_congealed=False,
+                            mesh=None):
     """frames: (T, C, H, W) numpy in [-1, 1], or a list of image file paths
     (loaded lazily per batch; any H, W — center-cropped to square).
+
+    ``mesh``: optional 1-D device mesh — frame batches are sharded over the
+    data axis (the reference stride-shards frames across ranks and
+    de-interleaves after gather, mixed_reality.py:28-33; on a single
+    controller results come back in order directly).
 
     Returns dict with 'propagated' and 'congealed' (T, C, S, S) arrays
     (omitted when save_frames=True — frames go straight to disk); writes
@@ -107,6 +113,14 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
             resolution, sigma, opacity)
         inactive_averages = averages * _INACTIVE_ALPHA - (1 - _INACTIVE_ALPHA)
 
+    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
+    pad_to = round_up_batch(batch, mesh) if mesh is not None else None
+    if mesh is not None:
+        params = replicate(mesh, params)
+        if cls_args.get("classifier_params") is not None:
+            cls_args["classifier_params"] = replicate(
+                mesh, cls_args["classifier_params"])
+
     propagated, congealed, correspondences, average_frames = [], [], [], []
     frame_index = 0
     for s in range(0, T, batch):
@@ -119,35 +133,41 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
         else:
             fb = jnp.asarray(frames[s:s + batch])
         n = fb.shape[0]
+        if mesh is not None:
+            if fb.shape[0] < pad_to:  # pad the tail; outputs sliced to n
+                fb = jnp.concatenate(
+                    [fb, jnp.repeat(fb[-1:], pad_to - fb.shape[0], 0)], 0)
+            fb = shard_batch(mesh, fb)
+        m = fb.shape[0]  # padded (device-divisible) batch size
         S = fb.shape[-1]
         flipped, flip_idx, warp_policy, clusters = determine_flips(
             params, cfg, fb, no_flip_inference=no_flip_inference,
             iters=iters, padding_mode=padding_mode, **cls_args)
         if objects and points is not None:
-            pts = jnp.tile(points, (n, 1, 1))
+            pts = jnp.tile(points, (m, 1, 1))
             prop_pts = composed_uncongeal_points(
                 params, cfg, flipped, pts, normalize_input_points=True,
                 unnormalize_output_points=True, iters=iters,
                 padding_mode=padding_mode,
                 warp_policy=warp_policy)
             # un-flip the points for frames that were mirrored
-            fi = flip_idx.reshape(n, 1)
+            fi = flip_idx.reshape(m, 1)
             prop_x = jnp.where(fi, S - 1 - prop_pts[..., 0],
                                prop_pts[..., 0])
             prop_pts = prop_pts.at[..., 0].set(prop_x)
             out = splat_points(
                 fb, prop_pts, sigma=sigma, opacity=opacity,
-                colors=jnp.tile(colors, (n, 1, 1)),
-                alpha_channel=jnp.tile(alphas, (n, 1, 1)),
+                colors=jnp.tile(colors, (m, 1, 1)),
+                alpha_channel=jnp.tile(alphas, (m, 1, 1)),
                 blend_alg=blend_alg)
             if save_frames:
                 for j in range(n):
                     _save_frame_png(out[j], os.path.join(
                         out_dir, "frames", f"{frame_index + j}.png"))
             else:
-                propagated.append(np.asarray(out))
+                propagated.append(np.asarray(out[:n]))
             if save_correspondences:
-                correspondences.append(np.asarray(prop_pts))
+                correspondences.append(np.asarray(prop_pts[:n]))
         cong, _, _, _, _ = composed_stn_forward(
             params, cfg, flipped, output_resolution=S, iters=iters,
             padding_mode=padding_mode,
@@ -161,9 +181,9 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
             cong_pts = (convert_points(points, res, S) if res != S
                         else points)
             cong = splat_points(
-                cong, jnp.tile(cong_pts, (n, 1, 1)), sigma=sigma,
-                opacity=opacity, colors=jnp.tile(colors, (n, 1, 1)),
-                alpha_channel=jnp.tile(alphas, (n, 1, 1)))
+                cong, jnp.tile(cong_pts, (m, 1, 1)), sigma=sigma,
+                opacity=opacity, colors=jnp.tile(colors, (m, 1, 1)),
+                alpha_channel=jnp.tile(alphas, (m, 1, 1)))
         if save_frames:
             for j in range(n):
                 _save_frame_png(cong[j], os.path.join(

@@ -94,6 +94,11 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
     correct = np.zeros(len(alphas), np.float64)
     kps_seen = 0.0
     pairs_seen = 0
+    if mesh is not None:
+        from gangealing_tpu.parallel import replicate, round_up_batch
+        params = replicate(mesh, params)
+        if batch_size is not None:
+            batch_size = round_up_batch(batch_size, mesh)
     it = iter(loader)
     while num_pairs is None or pairs_seen < num_pairs:
         try:
@@ -108,6 +113,9 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
         has_th = "threshB" in d
         if batch_size is None:
             batch_size = d["imgsA"].shape[0]
+            if mesh is not None:
+                from gangealing_tpu.parallel import round_up_batch
+                batch_size = round_up_batch(batch_size, mesh)
         if batch_fn is None:
             batch_fn = make_pck_batch_fn(
                 cfg, alphas, iters=iters, padding_mode=padding_mode,
@@ -207,13 +215,22 @@ def vis_transfer(params, cfg, loader, permutation=None, out_dir="visuals",
 
 def run_pck(ckpt_path, data_path, alphas=(0.1, 0.05, 0.01), real_size=256,
             batch=50, iters=1, padding_mode="border", num_pairs=None,
-            transfer_both_ways=False, no_flip_inference=False, seed=0):
+            transfer_both_ways=False, no_flip_inference=False, seed=0,
+            mesh="auto"):
     """End-to-end: load checkpoint, evaluate PCK on an LMDB PCK dataset.
 
     ``transfer_both_ways`` defaults False, matching the reference CLI
     (applications/pck.py --transfer_both_ways store_true) and the one-way
-    SPair protocol (reference README.md:207); pass True for CUB."""
+    SPair protocol (reference README.md:207); pass True for CUB.
+
+    ``mesh``: 'auto' shards pair batches over all local devices (the
+    reference DistributedSampler-shards PCK, pck.py:172-174); pass None to
+    force single-device, or an explicit Mesh."""
     from gangealing_tpu.io import load_torch_checkpoint, stn_config_from_args
+
+    if mesh == "auto":
+        from gangealing_tpu.parallel import auto_mesh
+        mesh = auto_mesh()
 
     ckpt = load_torch_checkpoint(ckpt_path)
     cfg = stn_config_from_args(ckpt.get("args", {}), supersize=real_size)
@@ -231,7 +248,7 @@ def run_pck(ckpt_path, data_path, alphas=(0.1, 0.05, 0.01), real_size=256,
                        match_flows=not no_flip_inference,
                        transfer_both_ways=transfer_both_ways,
                        permutation=permutation, batch_size=batch,
-                       progress=True)
+                       progress=True, mesh=mesh)
     for a, p in zip(alphas, pck):
         print(f"PCK-Transfer@{a}: {p * 100:.2f}%")
     return pck

@@ -24,16 +24,16 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
                         batch=8, classifier=None, cluster=None,
                         no_flip_inference=False, out_dir=None,
                         resolution=None, objects=True,
-                        output_resolution=None, average_n=None):
+                        output_resolution=None, average_n=None, mesh=None):
     """images: (N, C, S, S) in [-1, 1]. Returns dict with 'congealed',
     'average_congealed' and (if label given) 'propagated'.
 
     objects: take propagated colors from the label's RGB channels (object
-    propagation); False splats a colorscale instead (reference
-    propagate_to_images.py --objects). output_resolution: size of the
+    propagation); False splats the reference's hardcoded 'plasma' colorscale
+    (propagate_to_images.py make_visuals). output_resolution: size of the
     congealed outputs (default: input size). average_n: number of leading
-    images averaged for 'average_congealed' (reference --n_mean)."""
-    from gangealing_tpu.utils.vis import get_colorscale
+    images averaged for 'average_congealed' (reference --n_mean); 0 skips
+    the average entirely (reference n_mean=-1 creates no average visual)."""
     images = np.asarray(images)
     N, C, S, _ = images.shape
     out_res = output_resolution or S
@@ -46,10 +46,25 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
     if classifier is not None:
         cls_args = dict(classifier_params=classifier[0],
                         classifier_cfg=classifier[1], cluster=cluster)
+    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
+    pad_to = round_up_batch(batch, mesh) if mesh is not None else None
+    if mesh is not None:
+        # DP inference over the data axis (the reference rank-shards the
+        # dataset via its distributed loader, propagate_to_images.py:90-96)
+        params = replicate(mesh, params)
+        if cls_args.get("classifier_params") is not None:
+            cls_args["classifier_params"] = replicate(
+                mesh, cls_args["classifier_params"])
     congealed, propagated = [], []
     for s in range(0, N, batch):
         xb = jnp.asarray(images[s:s + batch])
         n = xb.shape[0]
+        if mesh is not None:
+            if xb.shape[0] < pad_to:  # pad the tail; outputs sliced to n
+                xb = jnp.concatenate(
+                    [xb, jnp.repeat(xb[-1:], pad_to - xb.shape[0], 0)], 0)
+            xb = shard_batch(mesh, xb)
+        m = xb.shape[0]
         flipped, flip_idx, warp_policy, _ = determine_flips(
             params, cfg, xb, no_flip_inference=no_flip_inference,
             iters=iters, padding_mode=padding_mode, **cls_args)
@@ -60,35 +75,37 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
                          else "cartesian"))
         congealed.append(np.asarray(cong[:n]))
         if points is not None:
-            pts = jnp.tile(points, (n, 1, 1))
+            pts = jnp.tile(points, (m, 1, 1))
             prop_pts = composed_uncongeal_points(
                 params, cfg, flipped, pts, normalize_input_points=True,
                 unnormalize_output_points=True, iters=iters,
                 padding_mode=padding_mode, warp_policy=warp_policy)
-            fi = flip_idx.reshape(n, 1)
+            fi = flip_idx.reshape(m, 1)
             prop_pts = prop_pts.at[..., 0].set(
                 jnp.where(fi, S - 1 - prop_pts[..., 0], prop_pts[..., 0]))
             out = splat_points(xb, prop_pts, sigma=sigma, opacity=opacity,
-                               colors=(jnp.tile(colors, (n, 1, 1))
+                               colors=(jnp.tile(colors, (m, 1, 1))
                                        if colors is not None else None),
-                               colorscale=get_colorscale(cluster),
-                               alpha_channel=jnp.tile(alphas, (n, 1, 1)),
+                               colorscale="plasma",
+                               alpha_channel=jnp.tile(alphas, (m, 1, 1)),
                                blend_alg=blend_alg)
-            propagated.append(np.asarray(out))
+            propagated.append(np.asarray(out[:n]))
     result = {"congealed": np.concatenate(congealed, 0)}
-    avg_src = result["congealed"]
-    if average_n is not None and average_n > 0:
-        avg_src = avg_src[:average_n]
-    result["average_congealed"] = avg_src.mean(axis=0, keepdims=True)
+    if average_n is None or average_n > 0:
+        avg_src = result["congealed"]
+        if average_n is not None:
+            avg_src = avg_src[:average_n]
+        result["average_congealed"] = avg_src.mean(axis=0, keepdims=True)
     if propagated:
         result["propagated"] = np.concatenate(propagated, 0)
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
         save_image(result["congealed"], os.path.join(out_dir, "congealed.png"),
                    normalize=True, range=(-1, 1))
-        save_image(result["average_congealed"],
-                   os.path.join(out_dir, "average_congealed.png"),
-                   normalize=True, range=None)
+        if "average_congealed" in result:
+            save_image(result["average_congealed"],
+                       os.path.join(out_dir, "average_congealed.png"),
+                       normalize=True, range=None)
         if "propagated" in result:
             save_image(result["propagated"],
                        os.path.join(out_dir, "propagated.png"),

@@ -93,4 +93,8 @@ def base_eval_argparse():
     p.add_argument("--real_size", default=256, type=int)
     p.add_argument("--batch", type=int, default=50)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--num_devices", default=None, type=int,
+                   help="shard eval batches over this many local devices "
+                        "(default: all; 1 disables sharding). The TPU "
+                        "equivalent of the reference's torchrun world size")
     return p

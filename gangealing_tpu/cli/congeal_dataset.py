@@ -15,6 +15,7 @@ def main():
 
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps.congeal_dataset import align_and_filter_dataset
+    from gangealing_tpu.parallel import auto_mesh
 
     params, cfg = load_stn(args.ckpt, supersize=args.real_size)
     used = align_and_filter_dataset(
@@ -25,7 +26,8 @@ def main():
         min_effective_resolution=args.min_effective_resolution,
         flow_scores_path=args.flow_scores,
         fraction_retained=args.fraction_retained,
-        no_flip_inference=args.no_flip_inference)
+        no_flip_inference=args.no_flip_inference,
+        mesh=auto_mesh(args.num_devices))
     print(f"Saved {len(used)} aligned images to {args.out}")
 
 

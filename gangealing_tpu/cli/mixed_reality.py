@@ -34,6 +34,7 @@ def main():
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps.mixed_reality import run_gangealing_on_video
     from gangealing_tpu.data.prepare import load_video_frames
+    from gangealing_tpu.parallel import auto_mesh
 
     loaded = load_stn(args.ckpt, supersize=args.real_size,
                       load_classifier=True)
@@ -59,7 +60,8 @@ def main():
         save_correspondences=args.save_correspondences,
         resolution=args.resolution, save_frames=args.save_frames,
         average_path=args.average_path,
-        overlay_congealed=args.overlay_congealed)
+        overlay_congealed=args.overlay_congealed,
+        mesh=auto_mesh(args.num_devices))
     print(f"Videos written to {args.out}")
 
 

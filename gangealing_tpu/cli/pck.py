@@ -25,7 +25,9 @@ def main():
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps.pck import pck_transfer, vis_transfer
     from gangealing_tpu.data.dataset import PCKDataset, DataLoader
+    from gangealing_tpu.parallel import auto_mesh
 
+    mesh = auto_mesh(args.num_devices)
     params, cfg = load_stn(args.ckpt, supersize=args.real_size)
     dset = PCKDataset(args.real_data_path, resolution=args.real_size,
                       seed=args.seed)
@@ -43,7 +45,7 @@ def main():
                        match_flows=not args.no_flip_inference,
                        transfer_both_ways=args.transfer_both_ways,
                        permutation=dset.mirror_permutation,
-                       batch_size=args.batch, progress=True)
+                       batch_size=args.batch, progress=True, mesh=mesh)
     print(" | ".join(f"PCK-Transfer@{a}: {p * 100:.2f}%"
                      for a, p in zip(args.alphas, pck)))
 
@@ -62,7 +64,8 @@ def main():
                 padding_mode=args.padding_mode,
                 match_flows=not args.no_flip_inference,
                 transfer_both_ways=args.transfer_both_ways,
-                permutation=dset.mirror_permutation, batch_size=args.batch))
+                permutation=dset.mirror_permutation, batch_size=args.batch,
+                mesh=mesh))
         std = np.stack(pcks).std(axis=0, ddof=1)
         print("-----Bootstrapping Results (standard deviations)-----")
         print(" | ".join(f"PCK-Transfer@{a}: {s * 100:.2f}%"

@@ -21,10 +21,16 @@ def main():
     parser.add_argument("--cluster", default=None, type=int)
     parser.add_argument("--n_mean", type=int, default=-1,
                         help="number of images averaged for the average "
-                             "congealed image (-1 = all)")
+                             "congealed image; -1 creates no average visual "
+                             "(reference propagate_to_images.py n_mean "
+                             "semantics; unlike the reference, the average "
+                             "is taken over the selected/propagated images, "
+                             "not a separate dataset pass)")
     parser.add_argument("--average_path", type=str, default=None,
                         help="path to a precomputed average aligned image; "
-                             "skips computing it")
+                             "the label is splatted onto it and saved as "
+                             "average_annotated.png (reference "
+                             "make_visuals, propagate_to_images.py:74-78)")
     parser.add_argument("--output_resolution", type=int, default=None,
                         help="resolution of the congealed output images")
     parser.add_argument("--resolution", default=256, type=int,
@@ -46,6 +52,7 @@ def main():
     from gangealing_tpu.apps.propagate_to_images import propagate_to_images
     from gangealing_tpu.apps.flow_scores import filter_dataset
     from gangealing_tpu.data.dataset import MultiResolutionDataset
+    from gangealing_tpu.parallel import auto_mesh
 
     loaded = load_stn(args.ckpt, supersize=args.real_size,
                       load_classifier=True)
@@ -68,14 +75,23 @@ def main():
         objects=args.objects, no_flip_inference=args.no_flip_inference,
         out_dir=args.out, resolution=args.resolution,
         output_resolution=args.output_resolution,
-        average_n=None if args.n_mean < 0 else args.n_mean)
-    if args.average_path is not None:
-        from PIL import Image
-        from gangealing_tpu.utils.vis import save_image
-        avg = np.asarray(Image.open(args.average_path).convert("RGB"))
-        avg = avg.astype(np.float32).transpose(2, 0, 1)[None] / 127.5 - 1.0
-        result["average_congealed"] = avg
-        save_image(avg, os.path.join(args.out, "average_congealed.png"),
+        average_n=0 if args.n_mean < 0 else args.n_mean,
+        mesh=auto_mesh(args.num_devices))
+    if args.average_path is not None and args.label_path is not None:
+        # Annotated average image (reference make_visuals: splat the label
+        # onto the loaded average, colorscale 'plasma').
+        from gangealing_tpu.utils.vis import (
+            load_pil, load_dense_label, splat_points, save_image)
+        avg = load_pil(args.average_path, resolution=args.real_size)
+        pts, colors, alphas = load_dense_label(
+            args.label_path, resolution=args.resolution,
+            load_colors=args.objects)
+        annotated = splat_points(
+            avg, pts.astype(np.float32), sigma=args.sigma,
+            opacity=args.opacity, colorscale="plasma", colors=colors,
+            alpha_channel=alphas)
+        result["average_annotated"] = np.asarray(annotated)
+        save_image(annotated, os.path.join(args.out, "average_annotated.png"),
                    normalize=True, range=(-1, 1))
     if args.save_individual_images:
         from gangealing_tpu.utils.vis import save_image

@@ -133,8 +133,10 @@ def grid_sample(input, grid, mode="bilinear", padding_mode="border",
 
 
 def _default_backend_is_tpu():
+    """True only on actual TPU — the Pallas MXU kernels are TPU-specific;
+    GPU and other backends keep the exact XLA formulation."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

@@ -67,9 +67,12 @@ def _separable_factors(kernel):
 
 
 def _backend_is_tpu():
+    """True only on actual TPU: the banded-matmul FIR/resize paths are a
+    TPU-relayout optimization; on GPU the native depthwise-conv lowering is
+    both faster and numerically safer, so keep the conv path there."""
     import jax
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

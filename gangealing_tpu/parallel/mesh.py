@@ -89,6 +89,32 @@ def all_gather_hosts(x):
     return multihost_utils.process_allgather(x)
 
 
+def auto_mesh(num_devices: Optional[int] = None,
+              axis_name: str = "data") -> Optional[Mesh]:
+    """Mesh for data-parallel inference, or None when it would be trivial.
+
+    The TPU equivalent of the reference's implicit torchrun world: every
+    eval app shards its batches over all local chips by default
+    (applications/congeal_dataset.py:32, flow_scores.py:40-41,
+    mixed_reality.py:28-33, pck.py:172-174 all rank-stride). Pass
+    ``num_devices`` to cap the mesh; 1 disables sharding entirely."""
+    n = len(jax.devices()) if num_devices is None else num_devices
+    if n <= 1:
+        return None
+    return make_mesh(n, axis_name)
+
+
+def mesh_size(mesh: Optional[Mesh]) -> int:
+    return 1 if mesh is None else int(mesh.devices.size)
+
+
+def round_up_batch(batch: int, mesh: Optional[Mesh]) -> int:
+    """Smallest batch >= ``batch`` divisible by the mesh (sharded arrays
+    need equal per-device shards; apps pad the tail and mask)."""
+    d = mesh_size(mesh)
+    return (batch + d - 1) // d * d
+
+
 def pad_to_multiple(x, multiple, axis=0):
     """Pad the leading axis so it divides the mesh (the reference's
     all_gatherv padding idiom, distributed.py:103-122). Returns (padded, n)."""
