@@ -21,13 +21,24 @@ import subprocess
 from typing import Dict, List, Optional, Tuple
 
 MDB_MAGIC = 0xBEEFC0DE
-MDB_VERSION = 1
+MDB_VERSION = 1  # lmdb 0.9.x on-disk format
 P_BRANCH, P_LEAF, P_OVERFLOW, P_META = 0x01, 0x02, 0x04, 0x08
-F_BIGDATA = 0x01
+P_LEAF2 = 0x20
+F_BIGDATA, F_SUBDATA, F_DUPDATA = 0x01, 0x02, 0x04
+# REVERSEKEY | DUPSORT | INTEGERKEY | DUPFIXED | INTEGERDUP | REVERSEDUP
+DB_UNSUPPORTED_FLAGS = 0x3F
 PAGEHDRSZ = 16
 PSIZE = 4096
 P_INVALID = 0xFFFFFFFFFFFFFFFF
 NODESZ = 8
+
+
+class LMDBFormatError(Exception):
+    """The file is not an LMDB data file we can read — either corrupt or
+    using format features the from-scratch reader intentionally rejects
+    (DUPSORT sub-DBs, LEAF2 pages, non-0.9 versions). Raised instead of
+    silently misreading (offline-compat risk: this reader is validated
+    against our own writer only; see native/lmdb_kv.cc header)."""
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +71,8 @@ def _native_lib():
     lib.gt_lmdb_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                 ctypes.c_size_t,
                                 ctypes.POINTER(ctypes.c_void_p)]
+    lib.gt_lmdb_last_error.restype = ctypes.c_char_p
+    lib.gt_lmdb_last_error.argtypes = []
     _LIB = lib
     return lib
 
@@ -72,14 +85,20 @@ class LMDBReader:
         self._h = None
         self._py = None
         if prefer_native:
+            lib = None
             try:
                 lib = _native_lib()
+            except (OSError, subprocess.CalledProcessError):
+                pass  # no compiler: pure-Python fallback below
+            if lib is not None:
                 self._h = lib.gt_lmdb_open(path.encode())
                 if not self._h:
-                    raise IOError(f"cannot open lmdb at {path}")
+                    err = (lib.gt_lmdb_last_error() or b"").decode()
+                    if err and "cannot open file" not in err:
+                        # a real format problem — do not silently fall back
+                        raise LMDBFormatError(f"{path}: {err}")
+                    raise IOError(f"cannot open lmdb at {path}: {err}")
                 self._lib = lib
-            except (OSError, subprocess.CalledProcessError):
-                self._h = None
         if self._h is None:
             self._py = _PyReader(path)
 
@@ -89,6 +108,9 @@ class LMDBReader:
             n = self._lib.gt_lmdb_get(self._h, key, len(key),
                                       ctypes.byref(out))
             if n < 0:
+                err = (self._lib.gt_lmdb_last_error() or b"").decode()
+                if err:  # unsupported format feature, not a plain miss
+                    raise LMDBFormatError(f"{self.path}: {err}")
                 return None
             return ctypes.string_at(out, n)
         return self._py.get(key)
@@ -118,15 +140,30 @@ class _PyReader:
         fpath = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
         with open(fpath, "rb") as f:
             self.buf = f.read()
+        if len(self.buf) < 2 * (PAGEHDRSZ + 104):
+            raise LMDBFormatError(f"{fpath}: file too small for LMDB metas")
         m0 = self._meta(0, 4096)
-        psize = m0[0] if m0 else 4096
+        if m0 is None:
+            raise LMDBFormatError(f"{fpath}: bad magic, not an LMDB file")
+        psize = m0[0]
+        if psize < 512 or psize > 65536 or psize & (psize - 1):
+            raise LMDBFormatError(
+                f"{fpath}: unsupported page size {psize} "
+                "(expect power of two in 512..65536)")
         m0 = self._meta(0, psize)
         m1 = self._meta(1, psize)
         metas = [m for m in (m0, m1) if m]
-        if not metas:
-            raise IOError(f"not an lmdb file: {fpath}")
         best = max(metas, key=lambda m: m[3])
-        self.psize, self.root, self.entries, _ = best
+        psize_, root, entries, _, version, flags = best
+        if version != MDB_VERSION:
+            raise LMDBFormatError(
+                f"{fpath}: unsupported LMDB format version {version} "
+                "(expect 0.9.x, version 1)")
+        if flags & DB_UNSUPPORTED_FLAGS:
+            raise LMDBFormatError(
+                f"{fpath}: main DB uses unsupported flags 0x{flags:x} "
+                "(DUPSORT/DUPFIXED/INTEGERKEY/REVERSEKEY)")
+        self.psize, self.root, self.entries = psize_, root, entries
 
     def _meta(self, pgno, psize):
         off = pgno * psize + PAGEHDRSZ
@@ -135,11 +172,13 @@ class _PyReader:
         magic, version = struct.unpack_from("<II", self.buf, off)
         if magic != MDB_MAGIC:
             return None
+        # real lmdb: psize lives in the free DB's pad field (mm_psize)
         pad0 = struct.unpack_from("<I", self.buf, off + 24)[0]
+        flags1 = struct.unpack_from("<H", self.buf, off + 24 + 48 + 4)[0]
         root1 = struct.unpack_from("<Q", self.buf, off + 24 + 48 + 40)[0]
         entries1 = struct.unpack_from("<Q", self.buf, off + 24 + 48 + 32)[0]
         txnid = struct.unpack_from("<Q", self.buf, off + 24 + 96 + 8)[0]
-        return (pad0 if pad0 >= 512 else 4096, root1, entries1, txnid)
+        return (pad0, root1, entries1, txnid, version, flags1)
 
     def get(self, key: bytes) -> Optional[bytes]:
         if self.root == P_INVALID:
@@ -174,11 +213,18 @@ class _PyReader:
                 lo, hi, nflags, _, _ = node(pick)
                 pgno = lo | (hi << 16) | (nflags << 32)
             elif flags & P_LEAF:
+                if flags & P_LEAF2:
+                    raise LMDBFormatError(
+                        f"{self.path if hasattr(self, 'path') else ''}"
+                        "LEAF2 (DUPFIXED) pages are not supported")
                 lo_i, hi_i = 0, nkeys
                 while lo_i < hi_i:
                     mid = (lo_i + hi_i) // 2
                     lo, hi, nflags, k, noff = node(mid)
                     if k == key:
+                        if nflags & (F_SUBDATA | F_DUPDATA):
+                            raise LMDBFormatError(
+                                "DUPSORT sub-databases are not supported")
                         dsize = lo | (hi << 16)
                         doff = noff + NODESZ + len(k)
                         if nflags & F_BIGDATA:
@@ -210,12 +256,16 @@ def _even(n):
     return (n + 1) & ~1
 
 
-def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
+def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0,
+               psize: int = PSIZE):
     """Write a fresh single-file LMDB environment containing ``items``.
 
     Produces <path>/data.mdb (path treated as a directory, like lmdb.open).
-    Keys are sorted bytewise (LMDB default compare).
-    """
+    Keys are sorted bytewise (LMDB default compare). ``psize`` sets the
+    page size (power of two, 512..65536; real lmdb defaults to the OS page
+    size, usually 4096)."""
+    if psize < 512 or psize > 65536 or psize & (psize - 1):
+        raise ValueError(f"invalid LMDB page size {psize}")
     os.makedirs(path, exist_ok=True)
     keys = sorted(items.keys())
     for k in keys:
@@ -227,13 +277,13 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
     n_overflow = 0
 
     # max node payload that fits inline (conservative: half a page)
-    max_inline = (PSIZE - PAGEHDRSZ) // 2 - NODESZ - 64
+    max_inline = (psize - PAGEHDRSZ) // 2 - NODESZ - 64
 
     # 1. build leaves
     leaf_first_key: List[bytes] = []
     leaf_pgnos: List[int] = []
     cur_nodes: List[bytes] = []
-    cur_space = PSIZE - PAGEHDRSZ
+    cur_space = psize - PAGEHDRSZ
 
     def flush_leaf():
         nonlocal cur_nodes, cur_space, next_pgno
@@ -244,7 +294,7 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
         nkeys = len(cur_nodes)
         lower = PAGEHDRSZ + 2 * nkeys
         body = b"".join(cur_nodes)
-        upper = PSIZE - len(body)
+        upper = psize - len(body)
         ptrs = []
         off = upper
         for nd in cur_nodes:
@@ -253,11 +303,11 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
         page = (_page_header(pgno, P_LEAF, lower, upper)
                 + struct.pack(f"<{nkeys}H", *ptrs)
                 + b"\x00" * (upper - lower) + body)
-        assert len(page) == PSIZE
+        assert len(page) == psize
         pages.append(page)
         leaf_pgnos.append(pgno)
         cur_nodes = []
-        cur_space = PSIZE - PAGEHDRSZ
+        cur_space = psize - PAGEHDRSZ
 
     overflow_chunks: List[Tuple[int, bytes]] = []  # (pgno, data)
 
@@ -287,15 +337,15 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
     ov_pgno_of = {}
     for k, v in big_values:
         # LMDB OVPAGES macro: ((PAGEHDRSZ - 1 + size) // psize) + 1
-        npg = (PAGEHDRSZ - 1 + len(v)) // PSIZE + 1
+        npg = (PAGEHDRSZ - 1 + len(v)) // psize + 1
         # LMDB overflow data is contiguous from the first page's payload
         # across whole raw pages: only the first page carries a header.
         ov_pgno_of[k] = next_pgno
         raw = _page_header(next_pgno, P_OVERFLOW, pages=npg) + v
-        pad = npg * PSIZE - len(raw)
+        pad = npg * psize - len(raw)
         raw += b"\x00" * pad
         for i in range(npg):
-            pages.append(raw[i * PSIZE:(i + 1) * PSIZE])
+            pages.append(raw[i * psize:(i + 1) * psize])
         next_pgno += npg
         n_overflow += npg
 
@@ -323,7 +373,7 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
     while len(level_pgnos) > 1:
         new_keys, new_pgnos = [], []
         cur: List[Tuple[bytes, int]] = []
-        space = PSIZE - PAGEHDRSZ
+        space = psize - PAGEHDRSZ
 
         def flush_branch():
             nonlocal cur, space, next_pgno, n_branch
@@ -343,7 +393,7 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
             nkeys = len(nodes)
             lower = PAGEHDRSZ + 2 * nkeys
             body = b"".join(nodes)
-            upper = PSIZE - len(body)
+            upper = psize - len(body)
             ptrs = []
             off = upper
             for nd in nodes:
@@ -352,12 +402,12 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
             page = (_page_header(pgno, P_BRANCH, lower, upper)
                     + struct.pack(f"<{nkeys}H", *ptrs)
                     + b"\x00" * (upper - lower) + body)
-            assert len(page) == PSIZE
+            assert len(page) == psize
             pages.append(page)
             new_keys.append(cur[0][0])
             new_pgnos.append(pgno)
             cur = []
-            space = PSIZE - PAGEHDRSZ
+            space = psize - PAGEHDRSZ
 
         for k, child in zip(level_keys, level_pgnos):
             need = _even(NODESZ + len(k)) + 2
@@ -374,16 +424,16 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0):
         depth = 0
 
     last_pg = next_pgno - 1
-    mapsize = (last_pg + 1) * PSIZE + map_extra
+    mapsize = (last_pg + 1) * psize + map_extra
 
     def meta(pgno, txnid):
-        free_db = struct.pack("<IHHQQQQQ", PSIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
+        free_db = struct.pack("<IHHQQQQQ", psize, 0, 0, 0, 0, 0, 0, P_INVALID)
         main_db = struct.pack("<IHHQQQQQ", 0, 0, depth, n_branch,
                               len(leaf_pgnos), n_overflow, len(keys), root)
         m = struct.pack("<IIQQ", MDB_MAGIC, MDB_VERSION, 0, mapsize) \
             + free_db + main_db + struct.pack("<QQ", last_pg, txnid)
         page = _page_header(pgno, P_META) + m
-        return page + b"\x00" * (PSIZE - len(page))
+        return page + b"\x00" * (psize - len(page))
 
     pages[0] = meta(0, 0)
     pages[1] = meta(1, 1)

@@ -24,13 +24,26 @@
 namespace {
 
 constexpr uint32_t MDB_MAGIC = 0xBEEFC0DE;
+constexpr uint32_t MDB_DATA_VERSION = 1;  // lmdb 0.9.x on-disk format
 constexpr uint16_t P_BRANCH = 0x01;
 constexpr uint16_t P_LEAF = 0x02;
 constexpr uint16_t P_OVERFLOW = 0x04;
 constexpr uint16_t P_META = 0x08;
+constexpr uint16_t P_LEAF2 = 0x20;
 constexpr uint16_t F_BIGDATA = 0x01;
+constexpr uint16_t F_SUBDATA = 0x02;
+constexpr uint16_t F_DUPDATA = 0x04;
+// main-DB flags we cannot read (lmdb.h): REVERSEKEY, DUPSORT, INTEGERKEY,
+// DUPFIXED, INTEGERDUP, REVERSEDUP
+constexpr uint16_t DB_UNSUPPORTED_FLAGS = 0x3F;
 constexpr size_t PAGEHDRSZ = 16;
 constexpr uint64_t P_INVALID = ~uint64_t{0};
+
+thread_local char g_err[256] = "";
+
+void set_err(const char* msg) {
+  snprintf(g_err, sizeof(g_err), "%s", msg);
+}
 
 #pragma pack(push, 1)
 struct PageHeader {
@@ -124,7 +137,10 @@ int cmp(const uint8_t* a, size_t alen, const uint8_t* b, size_t blen) {
 
 extern "C" {
 
+const char* gt_lmdb_last_error() { return g_err; }
+
 void* gt_lmdb_open(const char* path) {
+  set_err("");
   Env* e = new Env();
   // Accept either a directory (containing data.mdb) or a file path.
   char buf[4096];
@@ -135,31 +151,50 @@ void* gt_lmdb_open(const char* path) {
     fpath = buf;
   }
   e->fd = open(fpath, O_RDONLY);
-  if (e->fd < 0) { delete e; return nullptr; }
-  if (fstat(e->fd, &st) != 0) { close(e->fd); delete e; return nullptr; }
+  if (e->fd < 0) { set_err("cannot open file"); delete e; return nullptr; }
+  if (fstat(e->fd, &st) != 0) {
+    set_err("fstat failed"); close(e->fd); delete e; return nullptr;
+  }
   e->size = size_t(st.st_size);
+  if (e->size < 2 * (PAGEHDRSZ + sizeof(MDBMeta))) {
+    set_err("file too small for LMDB meta pages");
+    close(e->fd); delete e; return nullptr;
+  }
   e->map = static_cast<const uint8_t*>(
       mmap(nullptr, e->size, PROT_READ, MAP_SHARED, e->fd, 0));
-  if (e->map == MAP_FAILED) { close(e->fd); delete e; return nullptr; }
+  if (e->map == MAP_FAILED) {
+    set_err("mmap failed"); close(e->fd); delete e; return nullptr;
+  }
 
-  // meta pages live at pgno 0 and 1; psize unknown until we read meta, but
-  // meta 0 is always at offset 0. Try both the default 4096 offset and a
-  // psize read from meta 0 for meta 1.
-  const MDBMeta* m0 = reinterpret_cast<const MDBMeta*>(e->map + PAGEHDRSZ);
-  size_t psize = (m0->magic == MDB_MAGIC && m0->dbs[0].pad >= 512)
-                     ? m0->dbs[0].pad : 4096;
-  const MDBMeta* m1 =
-      reinterpret_cast<const MDBMeta*>(e->map + psize + PAGEHDRSZ);
-  const MDBMeta* best = nullptr;
-  if (m0->magic == MDB_MAGIC) best = m0;
-  if (m1->magic == MDB_MAGIC && (!best || m1->txnid > best->txnid)) best = m1;
-  if (!best) {
+  auto fail = [&](const char* msg) -> void* {
+    set_err(msg);
     munmap(const_cast<uint8_t*>(e->map), e->size);
     close(e->fd);
     delete e;
     return nullptr;
-  }
-  e->psize = best->dbs[0].pad ? best->dbs[0].pad : 4096;
+  };
+
+  // meta pages live at pgno 0 and 1; psize unknown until we read meta, but
+  // meta 0 is always at offset 0 (real lmdb stores psize in the free DB's
+  // pad field, mdb.c: #define mm_psize mm_dbs[FREE_DBI].md_pad).
+  const MDBMeta* m0 = reinterpret_cast<const MDBMeta*>(e->map + PAGEHDRSZ);
+  if (m0->magic != MDB_MAGIC)
+    return fail("bad magic: not an LMDB data file");
+  size_t psize = m0->dbs[0].pad;
+  if (psize < 512 || psize > 65536 || (psize & (psize - 1)) != 0)
+    return fail("unsupported page size (expect power of two in 512..65536)");
+  if (2 * psize > e->size)
+    return fail("file too small for both meta pages");
+  const MDBMeta* m1 =
+      reinterpret_cast<const MDBMeta*>(e->map + psize + PAGEHDRSZ);
+  const MDBMeta* best = m0;
+  if (m1->magic == MDB_MAGIC && m1->txnid > best->txnid) best = m1;
+  if (best->version != MDB_DATA_VERSION)
+    return fail("unsupported LMDB format version (expect 0.9.x, version 1)");
+  if (best->dbs[1].flags & DB_UNSUPPORTED_FLAGS)
+    return fail("main DB uses unsupported flags "
+                "(DUPSORT/DUPFIXED/INTEGERKEY/REVERSEKEY)");
+  e->psize = psize;
   e->root = best->dbs[1].root;
   e->entries = best->dbs[1].entries;
   return e;
@@ -181,6 +216,7 @@ int64_t gt_lmdb_entries(void* h) {
 // length is returned. Returns -1 on miss / error.
 int64_t gt_lmdb_get(void* h, const uint8_t* key, size_t klen,
                     const uint8_t** val) {
+  set_err("");  // distinguishes plain misses from format errors
   const Env* e = static_cast<const Env*>(h);
   if (e->root == P_INVALID) return -1;
   uint64_t pgno = e->root;
@@ -203,12 +239,20 @@ int64_t gt_lmdb_get(void* h, const uint8_t* key, size_t klen,
       }
       pgno = branch_pgno(node(e, p, pick));
     } else if (p->flags & P_LEAF) {
+      if (p->flags & P_LEAF2) {
+        set_err("LEAF2 (DUPFIXED) pages are not supported");
+        return -1;
+      }
       size_t lo = 0, hi = n;
       while (lo < hi) {
         size_t mid = (lo + hi) / 2;
         const NodeHeader* nd = node(e, p, mid);
         int c = cmp(node_key(nd), nd->ksize, key, klen);
         if (c == 0) {
+          if (nd->flags & (F_SUBDATA | F_DUPDATA)) {
+            set_err("DUPSORT sub-databases are not supported");
+            return -1;
+          }
           uint64_t dsize = leaf_datasize(nd);
           const uint8_t* data = node_key(nd) + nd->ksize;
           if (nd->flags & F_BIGDATA) {

@@ -167,3 +167,123 @@ def test_create_dataset_from_lmdb_input(tmp_path, rng):
     ds = MultiResolutionDataset(out, resolution=32)
     assert len(ds) == n
     assert ds[0].shape == (3, 32, 32)
+
+
+# ---------------------------------------------------------------------------
+# Defensive format validation (VERDICT r2 item 7): clear errors instead of
+# silent misreads; reader-vs-writer fuzz over page sizes + overflow boundary
+# ---------------------------------------------------------------------------
+
+from gangealing_tpu.data.lmdb_io import (  # noqa: E402
+    LMDBFormatError, PAGEHDRSZ, NODESZ)
+
+
+@pytest.mark.parametrize("psize", [512, 1024, 8192])
+def test_roundtrip_at_page_size(tmp_path, rng, psize):
+    """Fuzz reader-vs-writer at non-default page sizes, with value sizes
+    spanning the inline/overflow boundary and multi-page overflows."""
+    max_inline = (psize - PAGEHDRSZ) // 2 - NODESZ - 64
+    sizes = sorted({1, 7, max_inline - 1, max_inline, max_inline + 1,
+                    psize - PAGEHDRSZ, psize - PAGEHDRSZ + 1,
+                    3 * psize + 13})
+    items = {}
+    for i, sz in enumerate(sizes):
+        items[f"key-{i:04d}".encode()] = bytes(
+            rng.randint(0, 256, sz, dtype=np.uint8))
+    # plus a spread of random sizes
+    for i in range(40):
+        sz = int(rng.randint(1, 4 * psize))
+        items[f"rnd-{i:04d}".encode()] = bytes(
+            rng.randint(0, 256, sz, dtype=np.uint8))
+    path = str(tmp_path / f"ps{psize}")
+    write_lmdb(path, items, psize=psize)
+    for reader in (LMDBReader(path), _PyReader(path)):
+        assert reader.entries == len(items)
+        for k, v in items.items():
+            assert reader.get(k) == v, (psize, k, len(v))
+        assert reader.get(b"absent") is None
+
+
+def test_write_rejects_bad_psize(tmp_path):
+    with pytest.raises(ValueError):
+        write_lmdb(str(tmp_path / "x"), {b"a": b"b"}, psize=3000)
+    with pytest.raises(ValueError):
+        write_lmdb(str(tmp_path / "y"), {b"a": b"b"}, psize=256)
+
+
+def _corrupt(path_dir, tmp_path, name, offsets_values):
+    """Copy data.mdb and patch bytes at given (offset, bytes) pairs."""
+    src = os.path.join(path_dir, "data.mdb")
+    dst_dir = str(tmp_path / name)
+    os.makedirs(dst_dir, exist_ok=True)
+    buf = bytearray(open(src, "rb").read())
+    for off, val in offsets_values:
+        buf[off:off + len(val)] = val
+    open(os.path.join(dst_dir, "data.mdb"), "wb").write(bytes(buf))
+    return dst_dir
+
+
+@pytest.fixture
+def valid_lmdb(tmp_path, rng):
+    items = {f"k{i}".encode(): bytes(rng.randint(0, 256, 100, dtype=np.uint8))
+             for i in range(10)}
+    path = str(tmp_path / "valid")
+    write_lmdb(path, items)
+    return path
+
+
+def test_reject_bad_magic(valid_lmdb, tmp_path):
+    import struct
+    bad = _corrupt(valid_lmdb, tmp_path, "badmagic",
+                   [(PAGEHDRSZ, struct.pack("<I", 0xDEADBEEF)),
+                    (4096 + PAGEHDRSZ, struct.pack("<I", 0xDEADBEEF))])
+    with pytest.raises((LMDBFormatError, IOError)):
+        LMDBReader(bad)
+    with pytest.raises(LMDBFormatError):
+        _PyReader(bad)
+
+
+def test_reject_bad_version(valid_lmdb, tmp_path):
+    import struct
+    bad = _corrupt(valid_lmdb, tmp_path, "badver",
+                   [(PAGEHDRSZ + 4, struct.pack("<I", 999)),
+                    (4096 + PAGEHDRSZ + 4, struct.pack("<I", 999))])
+    with pytest.raises(LMDBFormatError, match="version"):
+        LMDBReader(bad)
+    with pytest.raises(LMDBFormatError, match="version"):
+        _PyReader(bad)
+
+
+def test_reject_dupsort_main_db(valid_lmdb, tmp_path):
+    import struct
+    # main DB flags live at meta + 24 (free db) + 48 + 4
+    off = PAGEHDRSZ + 24 + 48 + 4
+    bad = _corrupt(valid_lmdb, tmp_path, "dupsort",
+                   [(off, struct.pack("<H", 0x04)),
+                    (4096 + off, struct.pack("<H", 0x04))])
+    with pytest.raises(LMDBFormatError, match="[Uu]nsupported"):
+        LMDBReader(bad)
+    with pytest.raises(LMDBFormatError, match="[Uu]nsupported"):
+        _PyReader(bad)
+
+
+def test_reject_bad_psize_on_read(valid_lmdb, tmp_path):
+    import struct
+    off = PAGEHDRSZ + 24  # free DB pad == mm_psize
+    bad = _corrupt(valid_lmdb, tmp_path, "badpsize",
+                   [(off, struct.pack("<I", 3000)),
+                    (4096 + off, struct.pack("<I", 3000))])
+    with pytest.raises(LMDBFormatError, match="page size"):
+        LMDBReader(bad)
+    with pytest.raises(LMDBFormatError, match="page size"):
+        _PyReader(bad)
+
+
+def test_reject_truncated_file(tmp_path):
+    d = str(tmp_path / "trunc")
+    os.makedirs(d, exist_ok=True)
+    open(os.path.join(d, "data.mdb"), "wb").write(b"\x00" * 64)
+    with pytest.raises((LMDBFormatError, IOError)):
+        LMDBReader(d)
+    with pytest.raises(LMDBFormatError):
+        _PyReader(d)
