@@ -75,6 +75,17 @@ def lr_at_iter(i, base_lr, anneal_psi, period, t_mult=2, decay=0.9):
                                          decay=decay)
 
 
+def lr_used_at_iter(i, base_lr, anneal_psi, period, t_mult=2, decay=0.9):
+    """LR actually APPLIED by the optimizer update at iteration i.
+
+    The reference steps the scheduler AFTER the optimizer update
+    (train.py:125-132), so iteration i's update runs on the LR set by
+    iteration i-1's sched.step — i.e. lr_at_iter(i - 1). In particular the
+    first post-annealing iteration (i = anneal_psi + 1) still uses base_lr."""
+    return lr_at_iter(i - 1, base_lr, anneal_psi, period, t_mult=t_mult,
+                      decay=decay)
+
+
 def lr_cycle_iters(anneal_psi, period, total_iter, tm):
     """Iterations at which the LR hits zero (checkpointing points,
     annealing.py:40-47). Degenerate configs (run shorter than one cycle)

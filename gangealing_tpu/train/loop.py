@@ -22,7 +22,7 @@ import numpy as np
 from gangealing_tpu.train.state import (
     TrainConfig, init_train_state, make_train_step)
 from gangealing_tpu.train.annealing import (
-    psi_at_iter, lr_at_iter, lr_cycle_iters)
+    psi_at_iter, lr_used_at_iter, lr_cycle_iters)
 from gangealing_tpu.train.checkpoint import save_native, export_torch
 from gangealing_tpu.train.visuals import (
     GANgealingWriter, create_training_visuals,
@@ -138,10 +138,10 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
     for idx in range(cfg.iter - start_iter):
         i = idx + start_iter + 1
         psi = psi_at_iter(i, cfg.anneal_psi, cfg.anneal_fn)
-        lr_t = lr_at_iter(i, cfg.stn_lr, cfg.anneal_psi, cfg.period, cfg.tm,
-                          cfg.decay)
-        lr_ll = lr_at_iter(i, cfg.ll_lr, cfg.anneal_psi, cfg.period, cfg.tm,
-                           cfg.decay)
+        lr_t = lr_used_at_iter(i, cfg.stn_lr, cfg.anneal_psi, cfg.period,
+                               cfg.tm, cfg.decay)
+        lr_ll = lr_used_at_iter(i, cfg.ll_lr, cfg.anneal_psi, cfg.period,
+                                cfg.tm, cfg.decay)
         zk = jax.random.fold_in(z_key, i)
         z = jax.random.normal(zk, (cfg.batch, cfg.g.style_dim))
         if mesh is not None:

@@ -47,17 +47,39 @@ def sample_gan_supervised_pairs(g_params, g_cfg, ll_params, ll_cfg, key, psi,
     return unaligned, aligned
 
 
+def default_pair_sampler(g_params, g_cfg, ll_cfg, flow_size, freeze_ll=False,
+                         compute_dtype=None):
+    """The standard GAN-supervised pair source (loss.py:21-29) in the
+    pluggable-sampler form: sampler(ll_params, key, psi, batch, z) ->
+    (unaligned, aligned_target)."""
+    def sampler(ll_params, key, psi, batch, z):
+        return sample_gan_supervised_pairs(
+            g_params, g_cfg, ll_params, ll_cfg, key, psi, batch, flow_size,
+            freeze_ll=freeze_ll, z=z, compute_dtype=compute_dtype)
+    return sampler
+
+
 def gangealing_loss(g_params, g_cfg, t_params, t_cfg, ll_params, ll_cfg,
                     perceptual_fn: Callable, key, psi, batch,
                     freeze_ll=False, sample_from_full_res=False,
-                    padding_mode="border", compute_dtype=None):
+                    padding_mode="border", compute_dtype=None, z=None,
+                    pair_sampler=None):
     """Unimodal reconstruction loss (loss.py:64-75).
-    Returns (perceptual_loss_scalar, delta_flow)."""
-    unaligned, target = sample_gan_supervised_pairs(
-        g_params, g_cfg, ll_params, ll_cfg, key, psi, batch, t_cfg.flow_size,
-        freeze_ll=freeze_ll, compute_dtype=compute_dtype)
+    Returns (perceptual_loss_scalar, delta_flow).
+
+    ``pair_sampler``: optional replacement for the GAN pair source — must
+    map (ll_params, key, psi, batch, z) to (unaligned, target) at
+    flow_size. Used by the synthetic full-system demo (train/synthetic.py)
+    to exercise the exact loss/step machinery on a fixed differentiable
+    generator."""
+    if pair_sampler is None:
+        pair_sampler = default_pair_sampler(
+            g_params, g_cfg, ll_cfg, t_cfg.flow_size, freeze_ll=freeze_ll,
+            compute_dtype=compute_dtype)
+    unaligned, target = pair_sampler(ll_params, key, psi, batch, z)
     sampling_img = unaligned if sample_from_full_res else None
-    resized = resize_fake2stn(unaligned, g_cfg.size, t_cfg.flow_size)
+    gen_size = g_cfg.size if g_cfg is not None else t_cfg.flow_size
+    resized = resize_fake2stn(unaligned, gen_size, t_cfg.flow_size)
     pred, _, delta_flow, _, _ = composed_stn_forward(
         t_params, t_cfg, resized, input_img_for_sampling=sampling_img,
         padding_mode=padding_mode,
@@ -71,13 +93,15 @@ def assign_fake_images_to_clusters(g_params, g_cfg, t_params, t_cfg,
                                    batch, num_heads, flips,
                                    freeze_ll=False, sample_from_full_res=True,
                                    padding_mode="border", z=None,
-                                   compute_dtype=None):
+                                   compute_dtype=None, pair_sampler=None):
     """Congeal fakes with every head (and flip), take min distance
     (loss.py:32-61). Returns (min_values, min_indices, aligned_pred,
     delta_flow, unaligned, resized_unaligned, distances)."""
-    unaligned, target = sample_gan_supervised_pairs(
-        g_params, g_cfg, ll_params, ll_cfg, key, psi, batch, t_cfg.flow_size,
-        freeze_ll=freeze_ll, z=z, compute_dtype=compute_dtype)
+    if pair_sampler is None:
+        pair_sampler = default_pair_sampler(
+            g_params, g_cfg, ll_cfg, t_cfg.flow_size, freeze_ll=freeze_ll,
+            compute_dtype=compute_dtype)
+    unaligned, target = pair_sampler(ll_params, key, psi, batch, z)
     if flips:
         unaligned = jnp.concatenate([unaligned, jnp.flip(unaligned, 3)], 0)
         target = jnp.tile(target, (2, 1, 1, 1))
@@ -85,7 +109,8 @@ def assign_fake_images_to_clusters(g_params, g_cfg, t_params, t_cfg,
     else:
         loss_size = (batch, num_heads)
     sampling_img = unaligned if sample_from_full_res else None
-    resized = resize_fake2stn(unaligned, g_cfg.size, t_cfg.flow_size)
+    gen_size = g_cfg.size if g_cfg is not None else t_cfg.flow_size
+    resized = resize_fake2stn(unaligned, gen_size, t_cfg.flow_size)
     pred, _, delta_flow, _, _ = composed_stn_forward(
         t_params, t_cfg, resized, input_img_for_sampling=sampling_img,
         padding_mode=padding_mode,
@@ -105,14 +130,15 @@ def assign_fake_images_to_clusters(g_params, g_cfg, t_params, t_cfg,
 def gangealing_cluster_loss(g_params, g_cfg, t_params, t_cfg, ll_params,
                             ll_cfg, perceptual_fn, key, psi, batch, num_heads,
                             flips, freeze_ll=False, sample_from_full_res=True,
-                            padding_mode="border", compute_dtype=None):
+                            padding_mode="border", compute_dtype=None,
+                            z=None, pair_sampler=None):
     """Clustered loss: only the assigned head's residual flow is regularized
     (loss.py:78-92). Returns (loss, assigned_delta_flow)."""
     min_val, min_idx, _, delta_flow, _, _, _ = assign_fake_images_to_clusters(
         g_params, g_cfg, t_params, t_cfg, ll_params, ll_cfg, perceptual_fn,
         key, psi, batch, num_heads, flips, freeze_ll=freeze_ll,
         sample_from_full_res=sample_from_full_res, padding_mode=padding_mode,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, z=z, pair_sampler=pair_sampler)
     loss = jnp.mean(min_val)
     HW2 = delta_flow.shape[1:]
     if flips:

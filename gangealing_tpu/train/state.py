@@ -78,13 +78,18 @@ def ema_update(ema, params, decay=EMA_ACCUM):
 
 
 def make_train_step(cfg: TrainConfig, g_params, perceptual_params,
-                    perceptual_fn: Callable, donate=True):
+                    perceptual_fn: Callable, donate=True, pair_sampler=None):
     """Build the jitted train step.
 
     perceptual_fn(params, x, y) -> (N, 1, 1, 1).
     Returns step(state, z, key, psi, lr_t, lr_ll) -> (state, metrics).
     The generator and perceptual params are closed over (frozen) — XLA
     keeps them device-resident constants.
+
+    ``pair_sampler``: optional (unaligned, target) source replacing the GAN
+    pair sampling (see train/losses.py default_pair_sampler) — the
+    synthetic full-system demo plugs a fixed differentiable generator in
+    here; g_params/cfg.g may then be None.
     """
     opt = adam()
 
@@ -97,14 +102,16 @@ def make_train_step(cfg: TrainConfig, g_params, perceptual_params,
                 freeze_ll=cfg.freeze_ll,
                 sample_from_full_res=cfg.sample_from_full_res,
                 padding_mode=cfg.padding_mode,
-                compute_dtype=cfg.compute_dtype)
+                compute_dtype=cfg.compute_dtype, z=z,
+                pair_sampler=pair_sampler)
         else:
             ploss, delta_flow = gangealing_loss(
                 g_params, cfg.g, t_params, cfg.t, ll_params, cfg.ll, pfn,
                 key, psi, z.shape[0], freeze_ll=cfg.freeze_ll,
                 sample_from_full_res=cfg.sample_from_full_res,
                 padding_mode=cfg.padding_mode,
-                compute_dtype=cfg.compute_dtype)
+                compute_dtype=cfg.compute_dtype, z=z,
+                pair_sampler=pair_sampler)
         tv = total_variation_loss(delta_flow) if cfg.tv_weight > 0 \
             else jnp.zeros(())
         fid = flow_identity_loss(delta_flow) if cfg.flow_identity_weight > 0 \

@@ -501,3 +501,190 @@ def test_lr_cycle_iters_parity(capsys):
         ref = ref_cycles(anneal_psi, period, total, tm)
         ours = lr_cycle_iters(anneal_psi, period, total, tm)
         assert ours == ref, (anneal_psi, period, total, tm)
+
+
+# ---------------------------------------------------------------------------
+# Training dynamics: the reference train() iteration (train.py:89-135) vs
+# our jitted train step, shared weights + shared z (VERDICT r2 missing #2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_training_dynamics_parity():
+    """Run the reference per-iteration training logic (loss -> backward ->
+    Adam x2 -> SGDR sched stepping in fractional epochs -> EMA accumulate,
+    train.py:89-135) for several iterations spanning the psi->0 boundary,
+    against train/state.py's jitted step on identical weights and an
+    identical z sequence. Noise injection is neutralized by the generator's
+    zero-initialized noise weights (G is frozen, so they stay zero), making
+    the dynamics deterministic on both sides.
+
+    Asserts per-iteration losses (p, tv, f) and the final STN / ll / EMA
+    parameters match.
+    """
+    import copy
+
+    import models.stylegan2.networks as nw
+    from models.spatial_transformers.spatial_transformer import get_stn
+    from models.latent_learner import DirectionInterpolator
+    from models.losses.loss import (
+        sample_gan_supervised_pairs as ref_pairs,
+        total_variation_loss as ref_tv, flow_identity_loss as ref_fi)
+    from models.losses.lpips import LPIPS
+    from models import accumulate
+    from utils.annealing import (
+        DecayingCosineAnnealingWarmRestarts, get_psi_annealing_fn)
+
+    from gangealing_tpu.models.stylegan2 import GeneratorConfig
+    from gangealing_tpu.models.stn import ComposedSTNConfig
+    from gangealing_tpu.models.latent_learner import LatentLearnerConfig
+    from gangealing_tpu.models.lpips import (
+        import_torchvision_vgg, lpips_distance)
+    from gangealing_tpu.train.state import (
+        TrainConfig, init_train_state, make_train_step)
+    from gangealing_tpu.train.annealing import psi_at_iter, lr_used_at_iter
+
+    torch.manual_seed(0)
+    S, D, N_MLP, BATCH = 64, 64, 2, 2
+    ANNEAL_PSI, PERIOD, TM, DECAY = 3, 2.0, 2, 0.9
+    STN_LR, LL_LR, TVW, FIW = 1e-3, 1e-2, 1000.0, 1.0
+    ITERS = 7  # spans the psi->0 boundary (i=4) and one sched restart
+
+    # --- reference models ---------------------------------------------------
+    g = nw.Generator(S, D, N_MLP).eval()
+    for name, p in g.named_parameters():  # keep noise injection inert
+        if "noise" in name and "weight" in name:
+            with torch.no_grad():
+                p.zero_()
+    stn = get_stn(["similarity", "flow"], flow_size=S, supersize=S,
+                  channel_multiplier=0.5)
+    ref_shim.randomize_module(stn, scale=0.002, seed=7)
+    t_ema = copy.deepcopy(stn)
+    ll = DirectionInterpolator(pca_path=None, n_comps=2, inject_index=2,
+                               n_latent=g.n_latent, num_heads=1)
+    gbuf = torch.Generator().manual_seed(11)
+    ll.register_buffer("directions",
+                       torch.randn(2, D, generator=gbuf) * 0.1)
+    ll.register_buffer("lat_mean", torch.randn(1, D, generator=gbuf) * 0.1)
+    lp = LPIPS(net="vgg", lpips=False, pnet_rand=True, pretrained=False,
+               verbose=False).eval()
+    loss_fn = lambda x, y: lp(x, y) / 18.0  # vgg_ssl mode (lpips.py:16-17)
+
+    t_optim = torch.optim.Adam(stn.parameters(), lr=STN_LR,
+                               betas=(0.9, 0.999), eps=1e-8)
+    ll_optim = torch.optim.Adam(ll.parameters(), lr=LL_LR,
+                                betas=(0.9, 0.999), eps=1e-8)
+    t_sched = DecayingCosineAnnealingWarmRestarts(t_optim, T_0=1, T_mult=TM,
+                                                  decay=DECAY)
+    ll_sched = DecayingCosineAnnealingWarmRestarts(ll_optim, T_0=1,
+                                                   T_mult=TM, decay=DECAY)
+    anneal_fn = get_psi_annealing_fn("cosine")
+    accum = 0.5 ** (32 / (10 * 1000))  # train.py:77
+
+    zs = [torch.randn(BATCH, D, generator=torch.Generator().manual_seed(i))
+          for i in range(1, ITERS + 1)]
+
+    # --- our models (identical weights via the torch importer) -------------
+    g_cfg = GeneratorConfig(size=S, style_dim=D, n_mlp=N_MLP)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
+                              supersize=S, channel_multiplier=0.5)
+    ll_cfg = LatentLearnerConfig(n_comps=2, inject_index=2,
+                                 n_latent=g.n_latent, num_heads=1,
+                                 style_dim=D)
+    jp = lambda sd: {k: jnp.asarray(v)
+                     for k, v in import_state_dict(sd).items()}
+    g_params = jp(g.state_dict())
+    t_params = jp(stn.state_dict())
+    ll_params = jp(ll.state_dict())
+    vgg_params = import_torchvision_vgg(lp.state_dict())
+
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=BATCH,
+                      stn_lr=STN_LR, ll_lr=LL_LR, tv_weight=TVW,
+                      flow_identity_weight=FIW, anneal_psi=ANNEAL_PSI,
+                      anneal_fn="cosine", period=PERIOD, decay=DECAY, tm=TM,
+                      padding_mode="border", loss_fn="vgg_ssl")
+    state = init_train_state(t_params, ll_params)
+    pfn = lambda p, x, y: lpips_distance(p, x, y, use_lins=False) / 18.0
+    step = make_train_step(cfg, g_params, vgg_params, pfn, donate=False)
+
+    ref_losses, our_losses = [], []
+    for i in range(1, ITERS + 1):
+        # ---- reference iteration (train.py:89-135, z injected) ----
+        if i <= ANNEAL_PSI:
+            psi = anneal_fn(i, 1.0, 0.0, ANNEAL_PSI).item()
+            psi_is_fixed = False
+        else:
+            psi, psi_is_fixed = 0.0, True
+        unaligned, target = ref_pairs(g, ll, torch.nn.Sequential(), psi,
+                                      BATCH, D, freeze_ll=False,
+                                      device="cpu", z=zs[i - 1])
+        pred, delta_flow = stn(unaligned, return_flow=True,
+                               padding_mode="border")
+        ploss = loss_fn(pred, target).mean()
+        tv = ref_tv(delta_flow)
+        fi = ref_fi(delta_flow)
+        stn.zero_grad()
+        ll.zero_grad()
+        (ploss + TVW * tv + FIW * fi).backward()
+        lr_used_ref = t_optim.param_groups[0]["lr"]  # LR applied this iter
+        t_optim.step()
+        ll_optim.step()
+        if psi_is_fixed:
+            epoch = max(0, (i - ANNEAL_PSI) / PERIOD)
+            t_sched.step(epoch)
+            ll_sched.step(epoch)
+        accumulate(t_ema, stn, accum)
+        ref_losses.append((float(ploss.detach()), float(tv.detach()), float(fi.detach())))
+
+        # ---- our iteration (the loop's exact schedule indexing) ----
+        psi_ours = psi_at_iter(i, ANNEAL_PSI, "cosine")
+        lr_t = lr_used_at_iter(i, STN_LR, ANNEAL_PSI, PERIOD, TM, DECAY)
+        lr_ll = lr_used_at_iter(i, LL_LR, ANNEAL_PSI, PERIOD, TM, DECAY)
+        assert abs(psi_ours - psi) < 1e-6
+        # the loop's lr indexing must match the LR the reference optimizer
+        # actually applied this iteration (pre-step value, train.py:125-132)
+        assert abs(lr_t - lr_used_ref) < 1e-12, (i, lr_t, lr_used_ref)
+        state, metrics = step(state, jnp.asarray(np.asarray(zs[i - 1])),
+                              jax.random.PRNGKey(i), jnp.float32(psi_ours),
+                              jnp.float32(lr_t), jnp.float32(lr_ll))
+        our_losses.append((float(metrics["p"]), float(metrics["tv"]),
+                           float(metrics["f"])))
+        import os as _os
+        if _os.environ.get("GT_DYN_DEBUG"):
+            print(f"iter {i}: psi={psi_ours:.4f} lr_t={lr_t:.6f} "
+                  f"ref_p={ref_losses[-1][0]:.6f} our_p={our_losses[-1][0]:.6f} "
+                  f"ref_tv={ref_losses[-1][1]:.8f} our_tv={our_losses[-1][1]:.8f}",
+                  flush=True)
+
+    # Tolerance note: Adam's early steps behave like sign(gradient)
+    # (m_hat/sqrt(v_hat) ~= +-1 at t=1), so float32 cross-framework noise
+    # on near-zero gradient coordinates flips to O(lr) parameter
+    # differences immediately; ~1-2%% per-iteration loss agreement is the
+    # attainable bound for trajectory parity (the reference diverges from
+    # itself the same way under a different op order). Iteration 1 (same
+    # weights, pre-update) matches to ~1e-6.
+    r1, o1 = ref_losses[0], our_losses[0]
+    assert abs(r1[0] - o1[0]) <= 1e-5 + 1e-4 * abs(r1[0]), (r1, o1)
+    for i, (r, o) in enumerate(zip(ref_losses, our_losses), start=1):
+        for name, rv, ov in zip(("p", "tv", "f"), r, o):
+            assert abs(rv - ov) <= 1e-3 + 0.03 * abs(rv), \
+                f"iter {i} loss {name}: ref {rv} vs ours {ov}"
+
+    # final parameters: STN, ll, EMA
+    ref_t_final = jp(stn.state_dict())
+    ref_ll_final = jp(ll.state_dict())
+    ref_ema_final = jp(t_ema.state_dict())
+    import os as _os
+    for name, ours, ref, lr in (("t", state["t"], ref_t_final, STN_LR),
+                                ("ll", state["ll"], ref_ll_final, LL_LR),
+                                ("t_ema", state["t_ema"], ref_ema_final,
+                                 STN_LR)):
+        worst = 0.0
+        for k in ref:
+            err = float(jnp.max(jnp.abs(ours[k] - ref[k])))
+            worst = max(worst, err)
+            # per-coordinate budget: a few sign-ambiguous Adam steps
+            assert err <= 6 * ITERS * lr, \
+                f"{name}.{k}: max abs err {err:.2e}"
+        if _os.environ.get("GT_DYN_DEBUG"):
+            print(f"param group {name}: worst max-abs err {worst:.3e} "
+                  f"(budget {6 * ITERS * lr:.1e})", flush=True)
