@@ -3,10 +3,13 @@ metric; the LAST line is the headline congealing metric
 {"metric", "value", "unit", "vs_baseline"}.
 
 Metrics:
-  1. train_imgs_per_sec_per_chip_256px — full jitted GANgealing train step
-     (StyleGAN2-256 G fwd + STN + vgg_ssl perceptual loss, fwd+bwd+Adam),
+  1. train_imgs_per_sec_per_chip_256px — the DONATED jitted GANgealing
+     train step (StyleGAN2-256 G fwd + STN + vgg_ssl perceptual loss,
+     fwd+bwd+Adam; donate=True, exactly the graph train/loop.py runs),
      reference-default architecture, global batch 40 (the reference's 8-GPU
-     configuration, README.md:276-277) on ONE chip.
+     configuration, README.md:276-277) on ONE chip; also at per-chip batch 5
+     (the reference's per-GPU batch). Train + congeal metrics carry an
+     'mfu_bf16_peak' field: XLA cost-analysis FLOPs / time / 197 TFLOP/s.
   2. pck_eval_pairs_per_sec_per_chip_256px_iters3 — PCK-Transfer eval
      throughput at the published protocol (iters=3, 4-way match_flows,
      bidirectional, per-image thresholds; BASELINE config #2 shape).
@@ -39,6 +42,19 @@ import json
 import time
 
 V100_BASELINE_IMGS_PER_SEC = 150.0  # estimated, unverifiable (see docstring)
+V5E_BF16_PEAK_FLOPS = 197e12  # v5e MXU peak (bf16); f32 convs run at this
+                              # MXU rate too (see ops/resample.py notes)
+
+
+def _flops_of(compiled):
+    """FLOPs from XLA cost analysis of a compiled executable, or None."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def _timeit(f, *args, reps=10):
@@ -72,9 +88,14 @@ def bench_congeal():
     results = {}
     for batch in (40, 128):
         imgs = jnp.asarray(rng.randn(batch, 3, 256, 256).astype(np.float32))
+        # AOT-compile once: the same executable serves cost analysis + runs
+        compiled = fwd.lower(params, imgs).compile()
+        flops = _flops_of(compiled)
         overhead = _timeit(null_probe, params, imgs)
-        total = _timeit(fwd, params, imgs)
-        results[batch] = batch / max(total - overhead, 1e-6)
+        total = _timeit(compiled, params, imgs)
+        dt = max(total - overhead, 1e-6)
+        mfu = flops / dt / V5E_BF16_PEAK_FLOPS if flops else None
+        results[batch] = (batch / dt, mfu)
     return results
 
 
@@ -117,8 +138,11 @@ def bench_pck():
     return batch / min(ts)
 
 
-def bench_train_step(compute_dtype="float32"):
-    """One jitted train step at the reference architecture, global batch 40.
+def bench_train_step(compute_dtype="float32", batch=40):
+    """The DONATED jitted train step (the exact graph the training loop
+    runs — donate=True reuses the state buffers in place) at the reference
+    architecture. Returns (imgs_per_sec, mfu) where mfu is XLA
+    cost-analysis FLOPs / time / v5e bf16 peak.
 
     compute_dtype='bfloat16' runs the frozen G + VGG at the full MXU rate
     (G is inference-only during GANgealing training; ~16% faster step)."""
@@ -133,7 +157,6 @@ def bench_train_step(compute_dtype="float32"):
     from gangealing_tpu.train.state import (
         TrainConfig, init_train_state, make_train_step)
 
-    batch = 40
     g_cfg = GeneratorConfig(size=256)
     t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"),
                               flow_size=128, supersize=256,
@@ -157,24 +180,25 @@ def bench_train_step(compute_dtype="float32"):
 
     state = init_train_state(t_params, ll_params)
     step = make_train_step(cfg, g_params, vgg_params, perceptual_fn,
-                           donate=False)
+                           donate=True)
     z = jax.random.normal(jax.random.PRNGKey(4), (batch, g_cfg.style_dim))
     key = jax.random.PRNGKey(5)
     psi = jnp.float32(0.9)
     lr = jnp.float32(1e-3)
 
-    def run(state):
-        new_state, metrics = step(state, z, key, psi, lr, lr)
-        return new_state, metrics
+    # AOT-compile once: the executable provides the FLOP count (XLA cost
+    # analysis, fold-equivalent) and is what we time
+    compiled = step.lower(state, z, key, psi, lr, lr).compile()
+    step_flops = _flops_of(compiled)
 
-    # warm up / compile
-    state2, m = run(state)
+    # warm up; the state is donated, so thread it through
+    state, m = compiled(state, z, key, psi, lr, lr)
     _ = float(m["p"])
 
     ts = []
     for _ in range(6):
         t0 = time.time()
-        _, m = run(state)
+        state, m = compiled(state, z, key, psi, lr, lr)
         _ = float(m["p"])
         ts.append(time.time() - t0)
     # overhead probe: scalar host transfer alone
@@ -182,23 +206,42 @@ def bench_train_step(compute_dtype="float32"):
     def null_probe(s):
         return s["t"]["stns.0.warp_head.linear.bias"][0]
     oh = _timeit(null_probe, state)
-    return batch / max(min(ts) - oh, 1e-6)
+    dt = max(min(ts) - oh, 1e-6)
+    mfu = (step_flops / dt / V5E_BF16_PEAK_FLOPS
+           if step_flops else None)
+    return batch / dt, mfu
+
+
+def _round_mfu(mfu):
+    return round(mfu, 4) if mfu is not None else None
 
 
 def main():
-    train_rate = bench_train_step()
+    # Reference per-GPU batch (5, README.md:276-277): the defensible
+    # per-chip comparison point for BASELINE config #5.
+    train5, mfu5 = bench_train_step(batch=5)
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip_256px_batch5",
+        "value": round(train5, 2),
+        "unit": "imgs/s",
+        "vs_baseline": None,
+        "mfu_bf16_peak": _round_mfu(mfu5),
+    }))
+    train_rate, mfu40 = bench_train_step()
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_256px",
         "value": round(train_rate, 2),
         "unit": "imgs/s",
         "vs_baseline": None,
+        "mfu_bf16_peak": _round_mfu(mfu40),
     }))
-    train_bf16 = bench_train_step("bfloat16")
+    train_bf16, mfu40b = bench_train_step("bfloat16")
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_256px_bf16",
         "value": round(train_bf16, 2),
         "unit": "imgs/s",
         "vs_baseline": None,
+        "mfu_bf16_peak": _round_mfu(mfu40b),
     }))
     pck_rate = bench_pck()
     print(json.dumps({
@@ -210,15 +253,17 @@ def main():
     congeal = bench_congeal()
     print(json.dumps({
         "metric": "congeal_imgs_per_sec_per_chip_256px_batch40",
-        "value": round(congeal[40], 2),
+        "value": round(congeal[40][0], 2),
         "unit": "imgs/s",
-        "vs_baseline": round(congeal[40] / V100_BASELINE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(congeal[40][0] / V100_BASELINE_IMGS_PER_SEC, 3),
+        "mfu_bf16_peak": _round_mfu(congeal[40][1]),
     }))
     print(json.dumps({
         "metric": "congeal_imgs_per_sec_per_chip_256px",
-        "value": round(congeal[128], 2),
+        "value": round(congeal[128][0], 2),
         "unit": "imgs/s",
-        "vs_baseline": round(congeal[128] / V100_BASELINE_IMGS_PER_SEC, 3),
+        "vs_baseline": round(congeal[128][0] / V100_BASELINE_IMGS_PER_SEC, 3),
+        "mfu_bf16_peak": _round_mfu(congeal[128][1]),
     }))
 
 
