@@ -67,14 +67,11 @@ def make_template(size: int, mode: int = 0) -> jnp.ndarray:
     return jnp.asarray(np.clip(img, -1, 1))
 
 
-def synthetic_generator(templates, w, size: int, pose_scale=0.35,
-                        elastic_scale=0.08):
-    """Differentiable G_syn: (N, STYLE_DIM) W latents -> (N, 3, S, S).
-
-    Pose (rot/log-scale/translation) and a smooth elastic flow are linear
-    readouts of the latent; for multi-template sets the rendered image is
-    a soft (sigmoid) blend over templates driven by the mode channel, so
-    cluster identity is itself a differentiable function of w."""
+def synthetic_warp_grid(w, size: int, pose_scale=0.35, elastic_scale=0.08):
+    """The (N, S, S, 2) sampling grid G_syn uses: maps OUTPUT pixel coords
+    to template coords (grid_sample semantics). Exposed separately so
+    ground-truth correspondences can be derived by inverting it
+    (benchmarks/tpu_numerics.py)."""
     N = w.shape[0]
     rot = w[:, 0] * pose_scale
     scale = jnp.exp(w[:, 1] * pose_scale * 0.6)
@@ -88,7 +85,19 @@ def synthetic_generator(templates, w, size: int, pose_scale=0.35,
     el = w[:, N_POSE:N_POSE + N_ELASTIC].reshape(
         N * 2, 1, ELASTIC_GRID, ELASTIC_GRID)
     el = interpolate_bilinear(el, size, size).reshape(N, 2, size, size)
-    grid = grid + elastic_scale * el.transpose(0, 2, 3, 1)
+    return grid + elastic_scale * el.transpose(0, 2, 3, 1)
+
+
+def synthetic_generator(templates, w, size: int, pose_scale=0.35,
+                        elastic_scale=0.08):
+    """Differentiable G_syn: (N, STYLE_DIM) W latents -> (N, 3, S, S).
+
+    Pose (rot/log-scale/translation) and a smooth elastic flow are linear
+    readouts of the latent; for multi-template sets the rendered image is
+    a soft (sigmoid) blend over templates driven by the mode channel, so
+    cluster identity is itself a differentiable function of w."""
+    N = w.shape[0]
+    grid = synthetic_warp_grid(w, size, pose_scale, elastic_scale)
 
     K = len(templates)
     outs = []
