@@ -24,6 +24,7 @@ gather; f32 mode is exact (7e-7), bf16 mode ~1e-2 on N(0,1) images.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -249,7 +250,17 @@ def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
     N, C, H, W = input.shape
     Ho, Wo = grid.shape[1], grid.shape[2]
     P = Ho * Wo
-    PB = point_block
+    # Forward point-block size: prefer 1024 when it divides P exactly and
+    # the VMEM blocks fit (~3% faster than 512 on flagship shapes, measured
+    # on v5e); GANGEALING_POINT_BLOCK overrides for tuning.
+    env_pb = os.environ.get("GANGEALING_POINT_BLOCK")
+    if env_pb is not None:
+        PB = int(env_pb)
+    else:
+        PB = point_block
+        if (P % 1024 == 0 and H * C * W * 4 + 1024 * C * W * 4
+                + 1024 * (H + W) * 8 < 12 * 2 ** 20):
+            PB = max(PB, 1024)
     P_pad = ((P + PB - 1) // PB) * PB
 
     gx = _compute_coords(grid[..., 0].astype(jnp.float32).reshape(N, P),
@@ -278,6 +289,7 @@ def mxu_kernel_fits(input, point_block=512):
     """Feasibility check: VMEM budget for the kernel's blocks, plus Mosaic
     layout constraints (per-channel lane slices of the (PB, C*W) rows block
     require the group width W to be a multiple of the 128-lane tile)."""
+    point_block = int(os.environ.get("GANGEALING_POINT_BLOCK", point_block))
     N, C, H, W = input.shape
     if W % 128 != 0 or H % 8 != 0:
         return False

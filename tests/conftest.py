@@ -23,10 +23,28 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# The suite is XLA-compile-bound on a 1-core CI box; skip XLA's expensive
-# optimization passes — semantics (and golden-parity numerics) are
-# unchanged, compiles are ~35% faster.
-jax.config.update("jax_disable_most_optimizations", True)
+# The default (fast) suite is XLA-compile-bound on a 1-core CI box; skip
+# XLA's expensive optimization passes — semantics (and golden-parity
+# numerics) are unchanged, compiles are ~35% faster. The full suite
+# (-m "" / -m slow) is dominated by actual training compute instead, where
+# the optimization passes are a measured 1.5x runtime win — so
+# pytest_configure() below re-enables them whenever the slow tests are
+# selected. GANGEALING_TEST_XLA_OPT=1/0 forces either way.
+_xla_opt_env = os.environ.get("GANGEALING_TEST_XLA_OPT")
+if _xla_opt_env != "1":
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
+def pytest_configure(config):
+    markexpr = config.getoption("-m", default="not slow")
+    if _xla_opt_env is None and markexpr != "not slow":
+        jax.config.update("jax_disable_most_optimizations", False)
+# Persistent compilation cache: identical HLO (e.g. the train step built
+# twice by the --auto_resume relaunch test, or across pytest runs) loads
+# from disk instead of recompiling. Content-keyed, so it is always safe.
+jax.config.update("jax_compilation_cache_dir", "/tmp/gangealing_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 4)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 import pytest
