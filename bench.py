@@ -226,7 +226,7 @@ def main():
         "unit": "imgs/s",
         "vs_baseline": None,
         "mfu_bf16_peak": _round_mfu(mfu5),
-    }))
+    }), flush=True)
     train_rate, mfu40 = bench_train_step()
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_256px",
@@ -234,7 +234,7 @@ def main():
         "unit": "imgs/s",
         "vs_baseline": None,
         "mfu_bf16_peak": _round_mfu(mfu40),
-    }))
+    }), flush=True)
     train_bf16, mfu40b = bench_train_step("bfloat16")
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_256px_bf16",
@@ -242,14 +242,14 @@ def main():
         "unit": "imgs/s",
         "vs_baseline": None,
         "mfu_bf16_peak": _round_mfu(mfu40b),
-    }))
+    }), flush=True)
     pck_rate = bench_pck()
     print(json.dumps({
         "metric": "pck_eval_pairs_per_sec_per_chip_256px_iters3",
         "value": round(pck_rate, 2),
         "unit": "pairs/s",
         "vs_baseline": None,
-    }))
+    }), flush=True)
     congeal = bench_congeal()
     print(json.dumps({
         "metric": "congeal_imgs_per_sec_per_chip_256px_batch40",
@@ -257,14 +257,14 @@ def main():
         "unit": "imgs/s",
         "vs_baseline": round(congeal[40][0] / V100_BASELINE_IMGS_PER_SEC, 3),
         "mfu_bf16_peak": _round_mfu(congeal[40][1]),
-    }))
+    }), flush=True)
     print(json.dumps({
         "metric": "congeal_imgs_per_sec_per_chip_256px",
         "value": round(congeal[128][0], 2),
         "unit": "imgs/s",
         "vs_baseline": round(congeal[128][0] / V100_BASELINE_IMGS_PER_SEC, 3),
         "mfu_bf16_peak": _round_mfu(congeal[128][1]),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

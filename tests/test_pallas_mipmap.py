@@ -66,3 +66,23 @@ def test_banded_matches_fold_gradients(setup, pm):
                                np.asarray(gi1) / scale_i, atol=2e-5)
     np.testing.assert_allclose(np.asarray(gg2) / scale_g,
                                np.asarray(gg1) / scale_g, atol=2e-5)
+
+
+def test_point_block_env_override_equivalence(setup, monkeypatch):
+    """The forward point-block size (auto-1024 here: P=32*32) is a pure
+    tiling choice: GANGEALING_POINT_BLOCK=512 and a non-dividing 384
+    (exercising the tail-padding path) must both match the auto selection
+    bit-for-bit in f32 interpret mode."""
+    img, grid = setup
+    lv = jnp.maximum(mipmap_levels(grid, H, H, 3.5), 0.0)
+
+    def run():
+        return np.asarray(_mipmap_warp_banded(
+            img, grid, NUM_LEVELS, lv, "border",
+            precision="f32", interpret=True))
+
+    monkeypatch.delenv("GANGEALING_POINT_BLOCK", raising=False)
+    auto = run()  # P = 1024 -> adaptive PB=1024
+    for pb in ("512", "384"):
+        monkeypatch.setenv("GANGEALING_POINT_BLOCK", pb)
+        np.testing.assert_allclose(run(), auto, atol=1e-6)
