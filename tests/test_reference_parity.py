@@ -16,6 +16,10 @@ Covered (VERDICT r1 items 3-4):
   * LPIPS vgg_ssl and lins-calibrated modes (losses/lpips.py:123-223)
   * the full PCK-Transfer protocol: reference applications/pck.py:104-175
     vs apps/pck.py on identical weights/data, one-way and bidirectional
+  * the cluster classifier: forward + assign/run_flip/run_flip_target/
+    run_flip_cartesian (models/cluster_classifier.py:8-101)
+  * LR/psi schedule classes and seven iterations of the actual training
+    loop (r3; see the tests below)
 """
 
 import sys
@@ -688,3 +692,61 @@ def test_training_dynamics_parity():
         if _os.environ.get("GT_DYN_DEBUG"):
             print(f"param group {name}: worst max-abs err {worst:.3e} "
                   f"(budget {6 * ITERS * lr:.1e})", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Cluster classifier (models/cluster_classifier.py:8-101)
+# ---------------------------------------------------------------------------
+
+def test_cluster_classifier_parity(rng):
+    """ResnetClassifier forward + every flip-selection helper vs the actual
+    reference on shared weights (incl. the supersize input_downsample path,
+    cluster_classifier.py:14-15,41-43)."""
+    from models.cluster_classifier import ResnetClassifier
+    from gangealing_tpu.models.classifier import (
+        ClassifierConfig, classifier_forward, classifier_assign,
+        classifier_run_flip, classifier_run_flip_target,
+        classifier_run_flip_cartesian)
+
+    torch.manual_seed(0)
+    ref = ResnetClassifier(size=16, num_heads=4, supersize=32).eval()
+    ref_shim.randomize_module(ref, scale=0.05, seed=11)
+
+    cfg = ClassifierConfig(size=16, supersize=32, num_heads=4)
+    params = {k: jnp.asarray(v)
+              for k, v in import_state_dict(ref.state_dict()).items()}
+
+    x = np.tanh(rng.randn(6, 3, 32, 32)).astype(np.float32)
+    xt, xj = torch.from_numpy(x), jnp.asarray(x)
+
+    with torch.no_grad():
+        assert_close(classifier_forward(params, cfg, xj), ref(xt),
+                     name="classifier logits")
+        assert_close(classifier_assign(params, cfg, xj).astype(np.int64),
+                     ref.assign(xt), name="assign")
+        assert_close(
+            classifier_assign(params, cfg, xj,
+                              ignore_flips=True).astype(np.int64),
+            ref.assign(xt, ignore_flips=True), name="assign ignore_flips")
+
+        ref_x, ref_preds, ref_cls, ref_flip = ref.run_flip(xt)
+        our_x, our_preds, our_cls, our_flip = classifier_run_flip(
+            params, cfg, xj)
+        assert_close(our_x, ref_x, name="run_flip images")
+        assert_close(our_preds, ref_preds, name="run_flip preds")
+        assert_close(our_cls.astype(np.int64), ref_cls, name="run_flip cls")
+        assert_close(our_flip.astype(np.int64),
+                     ref_flip.numpy().astype(np.int64),
+                     name="run_flip flips")
+
+        ref_x, ref_flip = ref.run_flip_target(xt, 1)
+        our_x, our_flip = classifier_run_flip_target(params, cfg, xj, 1)
+        assert_close(our_x, ref_x, name="run_flip_target images")
+        assert_close(our_flip.astype(np.int64),
+                     ref_flip.numpy().astype(np.int64),
+                     name="run_flip_target flips")
+
+        ref_x, ref_policy = ref.run_flip_cartesian(xt)
+        our_x, our_policy = classifier_run_flip_cartesian(params, cfg, xj)
+        assert_close(our_x, ref_x, name="run_flip_cartesian images")
+        assert_close(our_policy, ref_policy, name="run_flip_cartesian policy")
