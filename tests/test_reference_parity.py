@@ -18,6 +18,8 @@ Covered (VERDICT r1 items 3-4):
     vs apps/pck.py on identical weights/data, one-way and bidirectional
   * the cluster classifier: forward + assign/run_flip/run_flip_target/
     run_flip_cartesian (models/cluster_classifier.py:8-101)
+  * the clustered loss path: assign_fake_images_to_clusters +
+    gangealing_cluster_loss with K=2 and flips (loss.py:32-92)
   * LR/psi schedule classes and seven iterations of the actual training
     loop (r3; see the tests below)
 """
@@ -750,3 +752,97 @@ def test_cluster_classifier_parity(rng):
         our_x, our_policy = classifier_run_flip_cartesian(params, cfg, xj)
         assert_close(our_x, ref_x, name="run_flip_cartesian images")
         assert_close(our_policy, ref_policy, name="run_flip_cartesian policy")
+
+
+# ---------------------------------------------------------------------------
+# Clustered loss path (loss.py:32-92): assignment + min-over-heads-and-flips
+# ---------------------------------------------------------------------------
+
+def test_cluster_loss_parity():
+    """assign_fake_images_to_clusters + gangealing_cluster_loss vs the
+    actual reference with K=2 heads and flips=True on shared weights and a
+    fixed z: the full-res sampling path, the cartesian head repeat, the
+    (2,N,K)->(N,2K) distance collapse, the argmin assignment, and the
+    assigned-head delta-flow gather (loss.py:88-92) must all agree."""
+    import models.stylegan2.networks as nw
+    from models.spatial_transformers.spatial_transformer import get_stn
+    from models.latent_learner import DirectionInterpolator
+    from models.losses.loss import (
+        assign_fake_images_to_clusters as ref_assign)
+    from models.losses.lpips import LPIPS
+
+    from gangealing_tpu.models.stylegan2 import GeneratorConfig
+    from gangealing_tpu.models.stn import ComposedSTNConfig
+    from gangealing_tpu.models.latent_learner import LatentLearnerConfig
+    from gangealing_tpu.models.lpips import (
+        import_torchvision_vgg, lpips_distance)
+    from gangealing_tpu.train.losses import (
+        assign_fake_images_to_clusters, gangealing_cluster_loss)
+
+    torch.manual_seed(0)
+    S, D, N_MLP, BATCH, K, PSI = 64, 64, 2, 2, 2, 0.6
+
+    g = nw.Generator(S, D, N_MLP).eval()
+    for name, p in g.named_parameters():  # keep noise injection inert
+        if "noise" in name and "weight" in name:
+            with torch.no_grad():
+                p.zero_()
+    stn = get_stn(["similarity", "flow"], flow_size=S, supersize=S,
+                  channel_multiplier=0.5, num_heads=K)
+    ref_shim.randomize_module(stn, scale=0.002, seed=7)
+    ll = DirectionInterpolator(pca_path=None, n_comps=2, inject_index=2,
+                               n_latent=g.n_latent, num_heads=K)
+    gbuf = torch.Generator().manual_seed(11)
+    ll.register_buffer("directions", torch.randn(2, D, generator=gbuf) * 0.1)
+    ll.register_buffer("lat_mean", torch.randn(1, D, generator=gbuf) * 0.1)
+    with torch.no_grad():  # distinct heads so the argmin is unambiguous
+        ll.coefficients.copy_(torch.randn(K, 2, generator=gbuf))
+    lp = LPIPS(net="vgg", lpips=False, pnet_rand=True, pretrained=False,
+               verbose=False).eval()
+    ref_loss_fn = lambda x, y: lp(x, y) / 18.0
+
+    z = torch.randn(BATCH, D, generator=torch.Generator().manual_seed(3))
+
+    with torch.no_grad():
+        ref_min, ref_pred, ref_df, _, _, ref_dist = ref_assign(
+            g, stn, ll, ref_loss_fn, torch.nn.Sequential(), PSI, BATCH, D,
+            freeze_ll=True, num_heads=K, flips=True, device="cpu",
+            sample_from_full_res=True, z=z)
+        # reference gangealing_cluster_loss body (loss.py:88-92) on the
+        # same assignment (the public fn draws its own random z)
+        ref_loss = ref_min.values.mean()
+        HW2 = ref_df.size()[1:]
+        df = ref_df.view(2, BATCH, K, *HW2).permute(1, 0, 2, 3, 4, 5)
+        ref_assigned = df.reshape(BATCH, 2 * K, *HW2)[
+            torch.arange(BATCH), ref_min.indices]
+
+    g_cfg = GeneratorConfig(size=S, style_dim=D, n_mlp=N_MLP)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
+                              supersize=S, channel_multiplier=0.5,
+                              num_heads=K)
+    ll_cfg = LatentLearnerConfig(n_comps=2, inject_index=2,
+                                 n_latent=g.n_latent, num_heads=K,
+                                 style_dim=D)
+    jp = lambda sd: {k: jnp.asarray(v)
+                     for k, v in import_state_dict(sd).items()}
+    g_params, t_params, ll_params = (jp(g.state_dict()), jp(stn.state_dict()),
+                                     jp(ll.state_dict()))
+    vgg_params = import_torchvision_vgg(lp.state_dict())
+    pfn = lambda x, y: lpips_distance(vgg_params, x, y, use_lins=False) / 18.0
+
+    min_val, min_idx, pred, df, _, _, dist = assign_fake_images_to_clusters(
+        g_params, g_cfg, t_params, t_cfg, ll_params, ll_cfg, pfn,
+        jax.random.PRNGKey(0), PSI, BATCH, num_heads=K, flips=True,
+        freeze_ll=True, sample_from_full_res=True, z=to_jnp(z))
+    assert_close(dist, ref_dist, tol=2e-4, name="cluster distances")
+    assert_close(min_idx.astype(np.int64), ref_min.indices,
+                 name="cluster assignment indices")
+    assert_close(min_val, ref_min.values, tol=2e-4, name="assigned distances")
+    assert_close(pred, ref_pred, name="congealed cartesian predictions")
+
+    loss, assigned = gangealing_cluster_loss(
+        g_params, g_cfg, t_params, t_cfg, ll_params, ll_cfg, pfn,
+        jax.random.PRNGKey(0), PSI, BATCH, num_heads=K, flips=True,
+        freeze_ll=True, sample_from_full_res=True, z=to_jnp(z))
+    assert_close(np.asarray(loss), ref_loss, tol=2e-4, name="cluster loss")
+    assert_close(assigned, ref_assigned, name="assigned delta_flow")
