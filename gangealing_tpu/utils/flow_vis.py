@@ -42,8 +42,14 @@ def _make_colorwheel():
 _WHEEL = _make_colorwheel()
 
 
-def flow_to_rgb(flow, clip_flow=None, scale_by_resolution=True):
-    """(N, H, W, 2) normalized flow -> (N, H, W, 3) uint8 RGB."""
+def flow_to_rgb(flow, clip_flow=None, scale_by_resolution=True,
+                per_sample_normalize=False):
+    """(N, H, W, 2) normalized flow -> (N, H, W, 3) uint8 RGB.
+
+    ``per_sample_normalize=False`` (default) normalizes the color intensity
+    by the radius max over the WHOLE batch, exactly like the reference
+    (flow_vis.py:124-127) — flows are comparable across a grid. True
+    normalizes each sample independently (every frame at full saturation)."""
     flow = np.asarray(flow, np.float32)
     if flow.ndim == 3:
         flow = flow[None]
@@ -55,7 +61,10 @@ def flow_to_rgb(flow, clip_flow=None, scale_by_resolution=True):
         u = np.clip(u, 0, clip_flow)
         v = np.clip(v, 0, clip_flow)
     rad = np.sqrt(u ** 2 + v ** 2)
-    rad_max = rad.reshape(N, -1).max(axis=1).reshape(N, 1, 1)
+    if per_sample_normalize:
+        rad_max = rad.reshape(N, -1).max(axis=1).reshape(N, 1, 1)
+    else:
+        rad_max = rad.max()
     eps = 1e-5
     u = u / (rad_max + eps)
     v = v / (rad_max + eps)

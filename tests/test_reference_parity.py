@@ -890,3 +890,21 @@ def test_extend_object_border_parity(rng):
     ours = extend_object_border(jnp.asarray(img), jnp.asarray(mask),
                                 max_pixel_radius=9)
     assert_close(ours, ref, tol=1e-5, name="extend_object_border")
+
+
+# ---------------------------------------------------------------------------
+# Flow visualization (utils/vis_tools/flow_vis.py:22-130)
+# ---------------------------------------------------------------------------
+
+def test_flow_to_image_parity(rng):
+    """Byte-exact vs the reference flow_to_image on a 2-sample batch,
+    including the batch-global radius normalization (flow_vis.py:124-127)
+    and the (H-1) resolution scaling."""
+    from utils.vis_tools.flow_vis import flow_to_image as ref_flow_to_image
+    from gangealing_tpu.utils.flow_vis import flow_to_rgb
+
+    flow = (rng.randn(2, 16, 16, 2) * 0.1).astype(np.float32)
+    ref = ref_flow_to_image(torch.from_numpy(flow))  # (N,3,H,W) in [0,1]
+    ref_u8 = np.round(np.asarray(ref.permute(0, 2, 3, 1)) * 255).astype(np.uint8)
+    ours = flow_to_rgb(flow)
+    np.testing.assert_array_equal(ours, ref_u8)
