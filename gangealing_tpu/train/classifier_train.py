@@ -17,7 +17,7 @@ from gangealing_tpu.models.classifier import (
     ClassifierConfig, classifier_forward, reverse_topk_accuracy)
 from gangealing_tpu.train.losses import assign_fake_images_to_clusters
 from gangealing_tpu.train.state import TrainConfig, adam
-from gangealing_tpu.train.annealing import decaying_cosine_warm_restarts
+from gangealing_tpu.train.annealing import lr_used_at_iter
 
 
 def warm_start_from_stn(cls_params, t_params) -> Dict:
@@ -40,14 +40,14 @@ def make_classifier_train_step(cfg: TrainConfig, cls_cfg: ClassifierConfig,
     K = cfg.t.num_heads
     total_clusters = K * (1 + cfg.flips)
 
-    def assign(key):
+    def assign(key, z):
         pfn = lambda x, y: perceptual_fn(perceptual_params, x, y)
         min_val, min_idx, _, _, unaligned, resized, distances = \
             assign_fake_images_to_clusters(
                 g_params, cfg.g, t_params, cfg.t, ll_params, cfg.ll, pfn,
                 key, 0.0, cfg.batch, K, cfg.flips, freeze_ll=True,
                 sample_from_full_res=cfg.sample_from_full_res,
-                padding_mode=cfg.padding_mode)
+                padding_mode=cfg.padding_mode, z=z)
         return (jax.lax.stop_gradient(resized[:cfg.batch]),
                 jax.lax.stop_gradient(min_idx),
                 jax.lax.stop_gradient(distances))
@@ -59,8 +59,8 @@ def make_classifier_train_step(cfg: TrainConfig, cls_cfg: ClassifierConfig,
         return xent, logits
 
     @jax.jit
-    def step(cls_params, opt_state, key, lr):
-        imgs, labels, distances = assign(key)
+    def step(cls_params, opt_state, key, lr, z=None):
+        imgs, labels, distances = assign(key, z)
         (xent, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             cls_params, imgs, labels)
         updates, opt_state = opt.update(grads, opt_state, cls_params)
@@ -91,8 +91,11 @@ def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
     opt_state = adam().init(cls_params)
     key = jax.random.PRNGKey(seed)
     for i in range(1, iters + 1):
-        lr = decaying_cosine_warm_restarts(i / period, cls_lr, t_0=1,
-                                           t_mult=tm, decay=decay)
+        # LR actually applied at iteration i: the reference steps the sched
+        # AFTER the optimizer (train_cluster_classifier.py:106-107), so the
+        # update runs on the epoch-(i-1)/period LR (anneal_psi forced to 0,
+        # :148). Pinned by test_classifier_training_dynamics_parity.
+        lr = lr_used_at_iter(i, cls_lr, 0, period, t_mult=tm, decay=decay)
         cls_params, opt_state, metrics = step(
             cls_params, opt_state, jax.random.fold_in(key, i),
             jnp.float32(lr))

@@ -24,6 +24,9 @@ Covered (VERDICT r1 items 3-4):
     (real cv2 Gaussian kernels; utils/laplacian_blending.py:13-134)
   * LR/psi schedule classes and seven iterations of the actual training
     loop (r3; see the tests below)
+  * five iterations of the cluster-classifier training loop (assign ->
+    CE -> Adam -> SGDR, train_cluster_classifier.py:84-107) + warm start
+  * flow_to_image (byte-exact)
 """
 
 import sys
@@ -908,3 +911,144 @@ def test_flow_to_image_parity(rng):
     ref_u8 = np.round(np.asarray(ref.permute(0, 2, 3, 1)) * 255).astype(np.uint8)
     ours = flow_to_rgb(flow)
     np.testing.assert_array_equal(ours, ref_u8)
+
+
+# ---------------------------------------------------------------------------
+# Classifier training dynamics (train_cluster_classifier.py:84-107)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_classifier_training_dynamics_parity():
+    """Run the reference cluster-classifier training logic (assign -> CE ->
+    backward -> Adam -> SGDR step AFTER the optimizer, with anneal_psi
+    forced to 0, train_cluster_classifier.py:84-107,148) for 5 iterations
+    spanning a restart boundary, against make_classifier_train_step on
+    identical weights and an identical z sequence. Also pins that
+    warm_start_from_stn equals the reference's strict=False state_dict
+    warm start (:184-189)."""
+    import models.stylegan2.networks as nw
+    from models.spatial_transformers.spatial_transformer import get_stn
+    from models.latent_learner import DirectionInterpolator
+    from models.cluster_classifier import ResnetClassifier
+    from models.losses.loss import (
+        assign_fake_images_to_clusters as ref_assign)
+    from models.losses.lpips import LPIPS
+    from models import accuracy as ref_accuracy
+    from utils.annealing import DecayingCosineAnnealingWarmRestarts
+
+    from gangealing_tpu.models.stylegan2 import GeneratorConfig
+    from gangealing_tpu.models.stn import ComposedSTNConfig
+    from gangealing_tpu.models.classifier import ClassifierConfig
+    from gangealing_tpu.models.latent_learner import LatentLearnerConfig
+    from gangealing_tpu.models.lpips import (
+        import_torchvision_vgg, lpips_distance)
+    from gangealing_tpu.train.state import TrainConfig, adam
+    from gangealing_tpu.train.annealing import lr_used_at_iter
+    from gangealing_tpu.train.classifier_train import (
+        make_classifier_train_step, warm_start_from_stn)
+
+    torch.manual_seed(0)
+    S, D, N_MLP, BATCH, K = 64, 64, 2, 2, 2
+    PERIOD, TM, DECAY, CLS_LR, ITERS = 2.0, 2, 0.9, 1e-3, 5
+
+    g = nw.Generator(S, D, N_MLP).eval()
+    for name, p in g.named_parameters():
+        if "noise" in name and "weight" in name:
+            with torch.no_grad():
+                p.zero_()
+    t_ema = get_stn(["similarity", "flow"], flow_size=S, supersize=S,
+                    channel_multiplier=0.5, num_heads=K).eval()
+    ref_shim.randomize_module(t_ema, scale=0.002, seed=7)
+    ll = DirectionInterpolator(pca_path=None, n_comps=2, inject_index=2,
+                               n_latent=g.n_latent, num_heads=K)
+    gbuf = torch.Generator().manual_seed(11)
+    ll.register_buffer("directions", torch.randn(2, D, generator=gbuf) * 0.1)
+    ll.register_buffer("lat_mean", torch.randn(1, D, generator=gbuf) * 0.1)
+    with torch.no_grad():
+        ll.coefficients.copy_(torch.randn(K, 2, generator=gbuf))
+    classifier = ResnetClassifier(S, channel_multiplier=0.5,
+                                  num_heads=K * 2, supersize=S)
+    # reference warm start from the similarity STN (:184-189)
+    classifier.load_state_dict(t_ema.stns[0].state_dict(), strict=False)
+    lp = LPIPS(net="vgg", lpips=False, pnet_rand=True, pretrained=False,
+               verbose=False).eval()
+    ref_loss_fn = lambda x, y: lp(x, y) / 18.0
+
+    cls_optim = torch.optim.Adam(classifier.parameters(), lr=CLS_LR)
+    cls_sched = DecayingCosineAnnealingWarmRestarts(cls_optim, T_0=1,
+                                                    T_mult=TM, decay=DECAY)
+    xent_fn = torch.nn.CrossEntropyLoss()
+    zs = [torch.randn(BATCH, D, generator=torch.Generator().manual_seed(i))
+          for i in range(1, ITERS + 1)]
+
+    # --- our side on identical weights -------------------------------------
+    g_cfg = GeneratorConfig(size=S, style_dim=D, n_mlp=N_MLP)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
+                              supersize=S, channel_multiplier=0.5,
+                              num_heads=K)
+    ll_cfg = LatentLearnerConfig(n_comps=2, inject_index=2,
+                                 n_latent=g.n_latent, num_heads=K,
+                                 style_dim=D)
+    cls_cfg = ClassifierConfig(size=S, supersize=S, num_heads=K * 2,
+                               channel_multiplier=0.5)
+    jp = lambda sd: {k: jnp.asarray(v)
+                     for k, v in import_state_dict(sd).items()}
+    g_params, t_params, ll_params = (jp(g.state_dict()),
+                                     jp(t_ema.state_dict()),
+                                     jp(ll.state_dict()))
+    vgg_params = import_torchvision_vgg(lp.state_dict())
+    pfn = lambda p, x, y: lpips_distance(p, x, y, use_lins=False) / 18.0
+
+    # warm_start_from_stn must equal the reference's strict=False load
+    torch.manual_seed(1)
+    fresh = ResnetClassifier(S, channel_multiplier=0.5, num_heads=K * 2,
+                             supersize=S)
+    fresh_j = jp(fresh.state_dict())
+    ours_warm = warm_start_from_stn(fresh_j, t_params)
+    ref_warm = dict(fresh.state_dict())
+    ref_warm.update({k: v for k, v in t_ema.stns[0].state_dict().items()
+                     if k in ref_warm
+                     and ref_warm[k].shape == v.shape})
+    for k, v in jp(ref_warm).items():
+        assert_close(ours_warm[k], v, tol=0, name=f"warm_start {k}")
+
+    cls_params = jp(classifier.state_dict())
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=BATCH, flips=True,
+                      sample_from_full_res=True, padding_mode="border",
+                      period=PERIOD, decay=DECAY, tm=TM)
+    step = make_classifier_train_step(cfg, cls_cfg, g_params, t_params,
+                                      ll_params, vgg_params, pfn)
+    opt_state = adam().init(cls_params)
+
+    for i in range(1, ITERS + 1):
+        # ---- reference iteration ----
+        with torch.no_grad():
+            assignments, _, _, _, resized_in, distance = ref_assign(
+                g, t_ema, ll, ref_loss_fn, torch.nn.Sequential(), 0.0,
+                BATCH, D, True, K, True, "cpu", sample_from_full_res=True,
+                z=zs[i - 1], padding_mode="border")
+        preds = classifier(resized_in[:BATCH])
+        ref_xent = xent_fn(preds, assignments.indices)
+        ref_acc1 = ref_accuracy(preds, -distance)
+        ref_acc2 = ref_accuracy(preds, -distance, k=2)
+        classifier.zero_grad()
+        ref_xent.backward()
+        cls_optim.step()
+        cls_sched.step(i / PERIOD)
+
+        # ---- our iteration (same z, explicit LR) ----
+        lr = lr_used_at_iter(i, CLS_LR, 0, PERIOD, t_mult=TM, decay=DECAY)
+        cls_params, opt_state, m = step(cls_params, opt_state,
+                                        jax.random.PRNGKey(100 + i),
+                                        jnp.float32(lr), z=to_jnp(zs[i - 1]))
+        assert_close(np.asarray(m["cross_entropy"]), ref_xent,
+                     tol=5e-4, name=f"iter {i} xent")
+        assert_close(np.asarray(m["acc@1"]), ref_acc1, tol=0,
+                     name=f"iter {i} acc@1")
+        assert_close(np.asarray(m["acc@2"]), ref_acc2, tol=0,
+                     name=f"iter {i} acc@2")
+
+    ref_final = jp(classifier.state_dict())
+    for k in ref_final:
+        err = float(jnp.max(jnp.abs(cls_params[k] - ref_final[k])))
+        assert err <= 6 * ITERS * CLS_LR, f"classifier.{k}: {err:.2e}"
