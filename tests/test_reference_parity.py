@@ -27,6 +27,8 @@ Covered (VERDICT r1 items 3-4):
   * five iterations of the cluster-classifier training loop (assign ->
     CE -> Adam -> SGDR, train_cluster_classifier.py:84-107) + warm start
   * flow_to_image (byte-exact)
+  * dataset-builder preprocessing: all pad modes, ACSM bbox/crop utils,
+    keypoint preprocessing (prepare_data.py:33-160, byte-exact)
 """
 
 import sys
@@ -1052,3 +1054,85 @@ def test_classifier_training_dynamics_parity():
     for k in ref_final:
         err = float(jnp.max(jnp.abs(cls_params[k] - ref_final[k])))
         assert err <= 6 * ITERS * CLS_LR, f"classifier.{k}: {err:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Dataset-builder preprocessing (prepare_data.py:33-160)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_prepare():
+    from PIL import Image
+    if not hasattr(Image, "ANTIALIAS"):  # removed in Pillow 10; the
+        Image.ANTIALIAS = Image.LANCZOS  # reference predates that
+    import prepare_data
+    return prepare_data
+
+
+def _random_pil(rng, w, h):
+    from PIL import Image
+    return Image.fromarray(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+
+
+def test_pad_modes_parity(ref_prepare, rng):
+    """black_bar/border/center_crop/resize_small_side byte-exact vs the
+    actual reference on landscape, portrait, and square inputs (odd and
+    even pad splits)."""
+    from gangealing_tpu.data import prepare as ours
+
+    for w, h in [(90, 61), (61, 90), (64, 64), (73, 48)]:
+        img = _random_pil(rng, w, h)
+        for name in ("black_bar_pad", "border_pad"):
+            ref = np.asarray(getattr(ref_prepare, name)(img, 64))
+            got = np.asarray(getattr(ours, name)(img, 64))
+            np.testing.assert_array_equal(got, ref, err_msg=f"{name} {w}x{h}")
+        np.testing.assert_array_equal(
+            np.asarray(ours.center_crop(img, 32)),
+            np.asarray(ref_prepare.center_crop(img, 32)),
+            err_msg=f"center_crop {w}x{h}")
+        np.testing.assert_array_equal(
+            np.asarray(ours.resize_small_side(img, 32)),
+            np.asarray(ref_prepare.resize_small_side(img, 32)),
+            err_msg=f"resize_small_side {w}x{h}")
+
+
+def test_nchw_center_crop_parity(ref_prepare, rng):
+    from gangealing_tpu.data import prepare as ours
+    x = rng.randn(2, 3, 37, 50).astype(np.float32)
+    ref_img, ref_off = ref_prepare.nchw_center_crop(torch.from_numpy(x))
+    got_img, got_off = ours.nchw_center_crop(jnp.asarray(x))
+    assert tuple(got_off) == tuple(ref_off)
+    assert_close(got_img, ref_img, tol=0, name="nchw_center_crop")
+
+
+def test_cub_crop_and_bbox_parity(ref_prepare, rng):
+    """acsm_crop/square_bbox (python2 rounding) + cub_crop vs the actual
+    reference CUB_data_utils path."""
+    from gangealing_tpu.data import prepare as ours
+    img = _random_pil(rng, 80, 60)
+    bbox = ours.square_bbox(ours.perturb_bbox([12, 9, 50, 47], 0.05, 0.0))
+    from utils.CUB_data_utils import square_bbox as ref_square
+    from utils.CUB_data_utils import perturb_bbox as ref_perturb
+    ref_bbox = ref_square(ref_perturb([12, 9, 50, 47], 0.05, 0.0))
+    assert list(bbox) == list(ref_bbox)
+    ref = np.asarray(ref_prepare.cub_crop(img, 48, ref_bbox))
+    got = np.asarray(ours.cub_crop(img, 48, bbox))
+    np.testing.assert_array_equal(got, ref, err_msg="cub_crop")
+
+
+def test_preprocess_kps_parity(ref_prepare, rng):
+    from gangealing_tpu.data import prepare as ours
+    kps = np.concatenate([rng.rand(7, 2).astype(np.float32) * 60,
+                          (rng.rand(7, 1) > 0.3).astype(np.float32)], 1)
+    for w, h in [(90, 61), (61, 90), (64, 64)]:
+        ref_kps, rx, ry, rs = ref_prepare.preprocess_kps_pad(
+            torch.from_numpy(kps.copy()), w, h, 64)
+        got_kps, gx, gy, gs = ours.preprocess_kps_pad(kps.copy(), w, h, 64)
+        assert (gx, gy) == (rx, ry) and abs(gs - rs) < 1e-7
+        assert_close(got_kps, ref_kps, tol=1e-5, name=f"kps_pad {w}x{h}")
+
+    bbox = [10, 10, 41, 41]
+    ref_kps = ref_prepare.preprocess_kps_box_crop(
+        torch.from_numpy(kps.copy()), bbox, 64)
+    got_kps = ours.preprocess_kps_box_crop(kps.copy(), bbox, 64)
+    assert_close(got_kps, ref_kps, tol=1e-5, name="kps_box_crop")
