@@ -47,11 +47,14 @@ def compute_flow_scores(params, cfg: ComposedSTNConfig, data_path,
     order, so no de-interleave step is needed)."""
     from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
     dset = MultiResolutionDataset(data_path, resolution=real_size)
+    # Round the batch itself up to a device multiple so every full step
+    # carries real images; only the final tail batch is padded.
+    batch = round_up_batch(batch, mesh)
     loader = DataLoader(dset, batch_size=batch, shuffle=False,
                         drop_last=False)
     score_fn = make_score_fn(cfg, iters=iters, padding_mode=padding_mode,
                              no_flip_inference=no_flip_inference)
-    pad_to = round_up_batch(batch, mesh)
+    pad_to = batch
     if mesh is not None:
         params = replicate(mesh, params)
     scores = []

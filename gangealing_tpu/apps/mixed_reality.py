@@ -114,7 +114,10 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
         inactive_averages = averages * _INACTIVE_ALPHA - (1 - _INACTIVE_ALPHA)
 
     from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
-    pad_to = round_up_batch(batch, mesh) if mesh is not None else None
+    # Stride by the device-divisible batch so only the tail pads (full
+    # steps otherwise waste pad_to - batch duplicate rows every iteration).
+    batch = round_up_batch(batch, mesh) if mesh is not None else batch
+    pad_to = batch if mesh is not None else None
     if mesh is not None:
         params = replicate(mesh, params)
         if cls_args.get("classifier_params") is not None:

@@ -114,7 +114,6 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
         if batch_size is None:
             batch_size = d["imgsA"].shape[0]
             if mesh is not None:
-                from gangealing_tpu.parallel import round_up_batch
                 batch_size = round_up_batch(batch_size, mesh)
         if batch_fn is None:
             batch_fn = make_pck_batch_fn(
@@ -231,6 +230,10 @@ def run_pck(ckpt_path, data_path, alphas=(0.1, 0.05, 0.01), real_size=256,
     if mesh == "auto":
         from gangealing_tpu.parallel import auto_mesh
         mesh = auto_mesh()
+    # Round the loader batch itself to a device multiple so only the tail
+    # batch pads (otherwise EVERY batch pads up and wastes device steps).
+    from gangealing_tpu.parallel import round_up_batch
+    batch = round_up_batch(batch, mesh)
 
     ckpt = load_torch_checkpoint(ckpt_path)
     cfg = stn_config_from_args(ckpt.get("args", {}), supersize=real_size)

@@ -47,7 +47,10 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
         cls_args = dict(classifier_params=classifier[0],
                         classifier_cfg=classifier[1], cluster=cluster)
     from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
-    pad_to = round_up_batch(batch, mesh) if mesh is not None else None
+    # Stride by the device-divisible batch so only the tail pads (full
+    # steps otherwise waste pad_to - batch duplicate rows every iteration).
+    batch = round_up_batch(batch, mesh) if mesh is not None else batch
+    pad_to = batch if mesh is not None else None
     if mesh is not None:
         # DP inference over the data axis (the reference rank-shards the
         # dataset via its distributed loader, propagate_to_images.py:90-96)

@@ -25,9 +25,11 @@ def main():
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps.pck import pck_transfer, vis_transfer
     from gangealing_tpu.data.dataset import PCKDataset, DataLoader
-    from gangealing_tpu.parallel import auto_mesh
+    from gangealing_tpu.parallel import auto_mesh, round_up_batch
 
     mesh = auto_mesh(args.num_devices)
+    # Device-divisible loader batch: only the tail batch pads.
+    args.batch = round_up_batch(args.batch, mesh)
     params, cfg = load_stn(args.ckpt, supersize=args.real_size)
     dset = PCKDataset(args.real_data_path, resolution=args.real_size,
                       seed=args.seed)

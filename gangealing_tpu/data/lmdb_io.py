@@ -94,11 +94,16 @@ class LMDBReader:
                 self._h = lib.gt_lmdb_open(path.encode())
                 if not self._h:
                     err = (lib.gt_lmdb_last_error() or b"").decode()
-                    if err and "cannot open file" not in err:
+                    environmental = any(s in err for s in (
+                        "cannot open file", "fstat failed", "mmap failed"))
+                    if err and not environmental:
                         # a real format problem — do not silently fall back
                         raise LMDBFormatError(f"{path}: {err}")
-                    raise IOError(f"cannot open lmdb at {path}: {err}")
-                self._lib = lib
+                    # environmental (missing file / mmap-hostile fs): the
+                    # read()-based _PyReader below still works, or raises a
+                    # clear FileNotFoundError itself
+                else:
+                    self._lib = lib
         if self._h is None:
             self._py = _PyReader(path)
 
@@ -140,7 +145,7 @@ class _PyReader:
         fpath = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
         with open(fpath, "rb") as f:
             self.buf = f.read()
-        if len(self.buf) < 2 * (PAGEHDRSZ + 104):
+        if len(self.buf) < 2 * (PAGEHDRSZ + 136):  # sizeof(MDBMeta) == 136
             raise LMDBFormatError(f"{fpath}: file too small for LMDB metas")
         m0 = self._meta(0, 4096)
         if m0 is None:
@@ -167,7 +172,10 @@ class _PyReader:
 
     def _meta(self, pgno, psize):
         off = pgno * psize + PAGEHDRSZ
-        if off + 104 > len(self.buf):
+        # The farthest field read below is txnid at off+128..136; guard the
+        # FULL meta extent so a truncated file yields a clean format error
+        # instead of struct.error.
+        if off + 136 > len(self.buf):
             return None
         magic, version = struct.unpack_from("<II", self.buf, off)
         if magic != MDB_MAGIC:
@@ -186,6 +194,10 @@ class _PyReader:
         pgno = self.root
         for _ in range(64):
             base = pgno * self.psize
+            if base + self.psize > len(self.buf):
+                raise LMDBFormatError(
+                    f"page {pgno} lies beyond the end of the file "
+                    "(truncated or corrupt LMDB)")
             flags = struct.unpack_from("<H", self.buf, base + 10)[0]
             lower = struct.unpack_from("<H", self.buf, base + 12)[0]
             nkeys = (lower - PAGEHDRSZ) >> 1
@@ -230,6 +242,10 @@ class _PyReader:
                         if nflags & F_BIGDATA:
                             opg = struct.unpack_from("<Q", self.buf, doff)[0]
                             start = opg * self.psize + PAGEHDRSZ
+                            if start + dsize > len(self.buf):
+                                raise LMDBFormatError(
+                                    f"overflow page {opg} extends beyond "
+                                    "the end of the file (truncated LMDB)")
                             return self.buf[start:start + dsize]
                         return self.buf[doff:doff + dsize]
                     if k < key:

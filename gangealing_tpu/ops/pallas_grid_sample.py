@@ -186,6 +186,12 @@ def _sample_core_bwd(H, W, C, PB, interpret_precision, residuals, g):
     PBB = min(PB, 256)
     while PBB > 64 and H * C * W * 4 + 3 * PBB * C * W * 4 > 10 * 2 ** 20:
         PBB //= 2
+    # The grid below floors P_pad / PBB, so PBB must divide P_pad or the
+    # tail points would silently get no gradient (P_pad is a multiple of
+    # the FORWARD block PB, which need not be a multiple of PBB when a
+    # non-power-of-two GANGEALING_POINT_BLOCK override is in effect).
+    while P_pad % PBB:
+        PBB //= 2
     dimg = pl.pallas_call(
         functools.partial(_dimg_kernel, H=H, W=W, C=C, PB=PBB,
                           compute_dtype=dtype),
@@ -252,10 +258,15 @@ def grid_sample_mxu(input, grid, padding_mode="border", align_corners=False,
     P = Ho * Wo
     # Forward point-block size: prefer 1024 when it divides P exactly and
     # the VMEM blocks fit (~3% faster than 512 on flagship shapes, measured
-    # on v5e); GANGEALING_POINT_BLOCK overrides for tuning.
+    # on v5e); GANGEALING_POINT_BLOCK overrides for tuning. The env is read
+    # at TRACE time: changing it after a shape has compiled is ignored by
+    # the jit cache — set it before first use (or jax.clear_caches()).
     env_pb = os.environ.get("GANGEALING_POINT_BLOCK")
     if env_pb is not None:
         PB = int(env_pb)
+        if PB < 8:
+            raise ValueError(
+                f"GANGEALING_POINT_BLOCK={env_pb!r} must be an int >= 8")
     else:
         PB = point_block
         if (P % 1024 == 0 and H * C * W * 4 + 1024 * C * W * 4

@@ -215,6 +215,11 @@ def _mt_sample_bwd(R, W, C, PB, interpret_precision, residuals, g):
     PBB = min(PB, 256)
     while PBB > 64 and R * C * W * 4 + 3 * PBB * C * W * 4 > 10 * 2 ** 20:
         PBB //= 2
+    # PBB must divide P_pad (grids floor): with a non-power-of-two
+    # GANGEALING_POINT_BLOCK override, P_pad is a multiple of PB only, and
+    # an uncovered tail would silently drop gradients.
+    while P_pad % PBB:
+        PBB //= 2
     dimg = _pallas_call_common(
         functools.partial(_dimg_kernel, R=R, W=W, C=C, PB=PBB,
                           compute_dtype=dtype),
@@ -269,10 +274,16 @@ def mipmap_sample(coords, stack_t, W, C, point_block=512, precision="bf16",
     # (measured batch-128 full forward on v5e), so prefer it whenever it
     # divides P exactly (no padding waste) and the kernel's VMEM blocks
     # still fit. The backward kernels cap their own block at 256 and are
-    # unaffected. GANGEALING_POINT_BLOCK overrides for tuning.
+    # unaffected. GANGEALING_POINT_BLOCK overrides for tuning; it is read
+    # at TRACE time, so set it before the first compile of a shape (the
+    # jit cache does not key on env vars — use jax.clear_caches() between
+    # sweep points).
     env_pb = os.environ.get("GANGEALING_POINT_BLOCK")
     if env_pb is not None:
         PB = int(env_pb)
+        if PB < 8:
+            raise ValueError(
+                f"GANGEALING_POINT_BLOCK={env_pb!r} must be an int >= 8")
     else:
         PB = point_block
         if (P % 1024 == 0 and R * CW * 4 + 1024 * CW * 4 + 2 * 1024 * R * 4

@@ -62,6 +62,30 @@ def test_pck_identity_stn_is_perfect(pck_lmdb):
     assert pck[0] > 0.95, f"identity transfer should be near-perfect: {pck}"
 
 
+def test_run_pck_end_to_end(pck_lmdb, tmp_path):
+    """run_pck: checkpoint load -> auto mesh -> loader batch rounded to a
+    device multiple -> same identity-STN result as calling pck_transfer."""
+    import argparse
+    import torch
+    from gangealing_tpu.apps.pck import run_pck
+    params = composed_stn_init(jax.random.PRNGKey(0), CFG)
+    ckpt = {
+        "t_ema": {k: torch.from_numpy(np.asarray(v).copy())
+                  for k, v in params.items()},
+        "args": argparse.Namespace(
+            transform=["similarity", "flow"], flow_size=S,
+            stn_channel_multiplier=0.25, flow_downsample=4,
+            num_heads=1, real_size=S, max_channels=32),
+    }
+    ckpt_path = str(tmp_path / "stn.pt")
+    torch.save(ckpt, ckpt_path)
+    # batch=3 on the 8-virtual-device CPU mesh exercises the round-up path
+    pck = run_pck(ckpt_path, pck_lmdb, alphas=(0.1,), real_size=S, batch=3,
+                  no_flip_inference=True, transfer_both_ways=True)
+    assert pck.shape == (1,)
+    assert pck[0] > 0.95, f"identity transfer should be near-perfect: {pck}"
+
+
 def test_pck_vis_transfer(pck_lmdb, tmp_path):
     """--vis_transfer renders the transfer grid + congealed grid PNGs."""
     from gangealing_tpu.apps.pck import vis_transfer

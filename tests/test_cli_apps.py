@@ -77,3 +77,30 @@ def test_cli_propagate_full_flags(tmp_path, monkeypatch, rng):
     assert os.path.exists(os.path.join(out, "congealed", "00000.png"))
     assert os.path.exists(os.path.join(out, "congealed", "00002.png"))
     assert os.path.exists(os.path.join(out, "propagated", "00000.png"))
+
+    # --average_path: the label (loaded at --resolution 32) must be splatted
+    # onto the real_size average at CONVERTED coordinates (reference
+    # make_visuals: convert resolution -> output_resolution=real_size) —
+    # i.e. land in the label's relative position, not the top-left quadrant.
+    avg_path = str(tmp_path / "avg.png")
+    Image.fromarray(np.zeros((S, S, 3), np.uint8)).save(avg_path)
+    out2 = str(tmp_path / "vis2")
+    argv = ["propagate", "--ckpt", ckpt_path, "--real_data_path", data,
+            "--real_size", str(S), "--out", out2, "--label_path", label,
+            "--no_flip_inference", "--dset_indices", "0",
+            "--resolution", str(S // 2), "--average_path", avg_path]
+    monkeypatch.setattr(sys, "argv", argv)
+    main()
+    ann = np.asarray(Image.open(
+        os.path.join(out2, "average_annotated.png")).convert("L"),
+        np.float32)
+    if ann.shape[0] == S + 4:  # images2grid pads a 2px border
+        ann = ann[2:-2, 2:-2]
+    assert ann.shape == (S, S)
+    # label alpha covers rows 20:40, cols 24:44 (of 64); the annotation must
+    # light that region, not its half-scale top-left-shrunken copy
+    right_region = ann[22:38, 26:42].mean()
+    wrong_region = ann[8:12, 10:14].mean()  # where unconverted pts would land
+    assert right_region > 40, right_region
+    assert right_region > 4 * (wrong_region + 1e-6), (right_region,
+                                                      wrong_region)

@@ -287,3 +287,42 @@ def test_reject_truncated_file(tmp_path):
         LMDBReader(d)
     with pytest.raises(LMDBFormatError):
         _PyReader(d)
+
+
+def test_truncated_mid_meta_and_mid_tree(tmp_path, rng):
+    """Truncation INSIDE meta-1 (passes the min-size guard, cuts the txnid
+    field) and past the metas but before the tree pages must both surface
+    as clean LMDBFormatError, never struct.error / silent short reads."""
+    import struct
+    items = {f"k{i}".encode(): bytes(rng.randint(0, 256, 80, dtype=np.uint8))
+             for i in range(10)}
+    path = str(tmp_path / "ps512")
+    write_lmdb(path, items, psize=512)
+    full = open(os.path.join(path, "data.mdb"), "rb").read()
+
+    # cut inside meta-1: off(meta1 fields) = 512 + 16, txnid needs byte 664
+    d1 = str(tmp_path / "midmeta")
+    os.makedirs(d1, exist_ok=True)
+    open(os.path.join(d1, "data.mdb"), "wb").write(full[:640])
+    try:
+        r = _PyReader(d1)  # meta-0 alone may still be consistent...
+        with pytest.raises(LMDBFormatError):  # ...but the tree is gone
+            for k in items:
+                r.get(k)
+    except LMDBFormatError:
+        pass  # rejecting at open is equally acceptable
+    except struct.error as e:  # pragma: no cover - the bug this guards
+        pytest.fail(f"truncated meta crashed with struct.error: {e}")
+
+    # cut after both metas but before/inside the tree pages
+    d2 = str(tmp_path / "midtree")
+    os.makedirs(d2, exist_ok=True)
+    open(os.path.join(d2, "data.mdb"), "wb").write(full[:1536])
+    try:
+        r = _PyReader(d2)
+        with pytest.raises(LMDBFormatError):
+            got = [r.get(k) for k in items]
+            # if every key "succeeded", the reads must at least be complete
+            assert all(g is not None and len(g) == 80 for g in got)
+    except LMDBFormatError:
+        pass

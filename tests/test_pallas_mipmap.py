@@ -86,3 +86,24 @@ def test_point_block_env_override_equivalence(setup, monkeypatch):
     for pb in ("512", "384"):
         monkeypatch.setenv("GANGEALING_POINT_BLOCK", pb)
         np.testing.assert_allclose(run(), auto, atol=1e-6)
+
+
+def test_point_block_env_override_gradients(setup, monkeypatch):
+    """Gradients under a non-power-of-two override (PB=384 pads P=1024 to
+    1152, which the backward's 256-capped block does NOT divide) must match
+    the unoverridden gradients — the backward grid would otherwise leave
+    tail points uncovered and silently drop their contributions."""
+    img, grid = setup
+    lv = jnp.maximum(mipmap_levels(grid, H, H, 3.5), 0.0)
+
+    def loss(i, g):
+        out = _mipmap_warp_banded(i, g, NUM_LEVELS, lv, "border",
+                                  precision="f32", interpret=True)
+        return jnp.sum(out ** 2)
+
+    monkeypatch.delenv("GANGEALING_POINT_BLOCK", raising=False)
+    gi_ref, gg_ref = jax.grad(loss, argnums=(0, 1))(img, grid)
+    monkeypatch.setenv("GANGEALING_POINT_BLOCK", "384")
+    gi, gg = jax.grad(loss, argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gg_ref), atol=1e-6)
