@@ -45,7 +45,8 @@ def compute_flow_scores(params, cfg: ComposedSTNConfig, data_path,
     axis (the reference rank-shards this loop, flow_scores.py:33-41; here
     each image's score is computed on one device and results read back in
     order, so no de-interleave step is needed)."""
-    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
+    from gangealing_tpu.parallel import (pad_batch, replicate,
+                                         round_up_batch, shard_batch)
     dset = MultiResolutionDataset(data_path, resolution=real_size)
     # Round the batch itself up to a device multiple so every full step
     # carries real images; only the final tail batch is padded.
@@ -54,16 +55,13 @@ def compute_flow_scores(params, cfg: ComposedSTNConfig, data_path,
                         drop_last=False)
     score_fn = make_score_fn(cfg, iters=iters, padding_mode=padding_mode,
                              no_flip_inference=no_flip_inference)
-    pad_to = batch
     if mesh is not None:
         params = replicate(mesh, params)
     scores = []
     for b in loader:
         # pad the tail batch to keep a single compiled executable
         n = b.shape[0]
-        if n < pad_to:
-            b = np.concatenate([b, np.repeat(b[-1:], pad_to - n, 0)], 0)
-        xb = jnp.asarray(b)
+        xb = pad_batch(jnp.asarray(b), batch)
         if mesh is not None:
             xb = shard_batch(mesh, xb)
         s = np.asarray(score_fn(params, xb))[:n]

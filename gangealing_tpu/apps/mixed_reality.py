@@ -113,11 +113,11 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
             resolution, sigma, opacity)
         inactive_averages = averages * _INACTIVE_ALPHA - (1 - _INACTIVE_ALPHA)
 
-    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
+    from gangealing_tpu.parallel import (pad_batch, replicate,
+                                         round_up_batch, shard_batch)
     # Stride by the device-divisible batch so only the tail pads (full
-    # steps otherwise waste pad_to - batch duplicate rows every iteration).
-    batch = round_up_batch(batch, mesh) if mesh is not None else batch
-    pad_to = batch if mesh is not None else None
+    # steps otherwise waste duplicate rows every iteration).
+    batch = round_up_batch(batch, mesh)
     if mesh is not None:
         params = replicate(mesh, params)
         if cls_args.get("classifier_params") is not None:
@@ -137,9 +137,7 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
             fb = jnp.asarray(frames[s:s + batch])
         n = fb.shape[0]
         if mesh is not None:
-            if fb.shape[0] < pad_to:  # pad the tail; outputs sliced to n
-                fb = jnp.concatenate(
-                    [fb, jnp.repeat(fb[-1:], pad_to - fb.shape[0], 0)], 0)
+            fb = pad_batch(fb, batch)  # pad the tail; outputs sliced to n
             fb = shard_batch(mesh, fb)
         m = fb.shape[0]  # padded (device-divisible) batch size
         S = fb.shape[-1]

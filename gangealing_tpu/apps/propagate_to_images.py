@@ -18,6 +18,33 @@ from gangealing_tpu.utils.vis import (
     splat_points, save_image, load_dense_label)
 
 
+def annotate_average(average_path, label_path, real_size, resolution,
+                     output_resolution=None, sigma=1.3, opacity=0.75,
+                     objects=False, out_dir=None):
+    """Splat a congealed-space label onto a precomputed average aligned
+    image (reference make_visuals, propagate_to_images.py:74-78): the
+    average loads at real_size; label points load at ``resolution`` and are
+    converted to output_resolution scale, which defaults to real_size
+    (reference propagate_to_images.py:142-143). Returns the (1, 3, S, S)
+    annotated image; writes average_annotated.png when out_dir is given."""
+    from gangealing_tpu.models.stn import convert_points
+    from gangealing_tpu.utils.vis import load_pil
+
+    out_res = output_resolution if output_resolution else real_size
+    avg = load_pil(average_path, resolution=real_size)
+    pts, colors, alphas = load_dense_label(label_path, resolution=resolution,
+                                           load_colors=objects)
+    pts = np.asarray(convert_points(pts.astype(np.float32), resolution,
+                                    out_res))
+    annotated = splat_points(avg, pts, sigma=sigma, opacity=opacity,
+                             colorscale="plasma", colors=colors,
+                             alpha_channel=alphas)
+    if out_dir is not None:
+        save_image(annotated, os.path.join(out_dir, "average_annotated.png"),
+                   normalize=True, range=(-1, 1))
+    return np.asarray(annotated)
+
+
 def propagate_to_images(params, cfg: ComposedSTNConfig, images,
                         label_path=None, sigma=1.2, opacity=1.0,
                         blend_alg="alpha", iters=1, padding_mode="border",
@@ -46,11 +73,11 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
     if classifier is not None:
         cls_args = dict(classifier_params=classifier[0],
                         classifier_cfg=classifier[1], cluster=cluster)
-    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
+    from gangealing_tpu.parallel import (pad_batch, replicate,
+                                         round_up_batch, shard_batch)
     # Stride by the device-divisible batch so only the tail pads (full
-    # steps otherwise waste pad_to - batch duplicate rows every iteration).
-    batch = round_up_batch(batch, mesh) if mesh is not None else batch
-    pad_to = batch if mesh is not None else None
+    # steps otherwise waste duplicate rows every iteration).
+    batch = round_up_batch(batch, mesh)
     if mesh is not None:
         # DP inference over the data axis (the reference rank-shards the
         # dataset via its distributed loader, propagate_to_images.py:90-96)
@@ -63,9 +90,7 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
         xb = jnp.asarray(images[s:s + batch])
         n = xb.shape[0]
         if mesh is not None:
-            if xb.shape[0] < pad_to:  # pad the tail; outputs sliced to n
-                xb = jnp.concatenate(
-                    [xb, jnp.repeat(xb[-1:], pad_to - xb.shape[0], 0)], 0)
+            xb = pad_batch(xb, batch)  # pad the tail; outputs sliced to n
             xb = shard_batch(mesh, xb)
         m = xb.shape[0]
         flipped, flip_idx, warp_policy, _ = determine_flips(

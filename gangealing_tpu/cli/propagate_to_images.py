@@ -82,29 +82,12 @@ def main():
               "--label_path (the label is splatted onto the average); "
               "ignoring it (reference make_visuals semantics)")
     if args.average_path is not None and args.label_path is not None:
-        # Annotated average image (reference make_visuals: splat the label
-        # onto the loaded average, colorscale 'plasma'). The reference loads
-        # the average at real_size and converts the label points from
-        # `resolution` scale to output_resolution scale, which defaults to
-        # real_size (propagate_to_images.py:74-78,142-143).
-        from gangealing_tpu.models.stn import convert_points
-        from gangealing_tpu.utils.vis import (
-            load_pil, load_dense_label, splat_points, save_image)
-        out_res = (args.output_resolution if args.output_resolution
-                   else args.real_size)
-        avg = load_pil(args.average_path, resolution=args.real_size)
-        pts, colors, alphas = load_dense_label(
-            args.label_path, resolution=args.resolution,
-            load_colors=args.objects)
-        pts = np.asarray(convert_points(pts.astype(np.float32),
-                                        args.resolution, out_res))
-        annotated = splat_points(
-            avg, pts, sigma=args.sigma,
-            opacity=args.opacity, colorscale="plasma", colors=colors,
-            alpha_channel=alphas)
-        result["average_annotated"] = np.asarray(annotated)
-        save_image(annotated, os.path.join(args.out, "average_annotated.png"),
-                   normalize=True, range=(-1, 1))
+        from gangealing_tpu.apps.propagate_to_images import annotate_average
+        result["average_annotated"] = annotate_average(
+            args.average_path, args.label_path, args.real_size,
+            args.resolution, output_resolution=args.output_resolution,
+            sigma=args.sigma, opacity=args.opacity, objects=args.objects,
+            out_dir=args.out)
     if args.save_individual_images:
         from gangealing_tpu.utils.vis import save_image
         for name in ("congealed", "propagated"):

@@ -134,11 +134,10 @@ def grid_sample(input, grid, mode="bilinear", padding_mode="border",
 
 def _default_backend_is_tpu():
     """True only on actual TPU — the Pallas MXU kernels are TPU-specific;
-    GPU and other backends keep the exact XLA formulation."""
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    GPU and other backends keep the exact XLA formulation. (Shared with the
+    banded FIR/resize dispatch in ops/resample.py.)"""
+    from gangealing_tpu.ops.resample import _backend_is_tpu
+    return _backend_is_tpu()
 
 
 def grid_sample_auto(input, grid, mode="bilinear", padding_mode="border",

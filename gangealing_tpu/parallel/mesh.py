@@ -23,6 +23,7 @@ not on real multi-host DCN hardware.
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -113,6 +114,17 @@ def round_up_batch(batch: int, mesh: Optional[Mesh]) -> int:
     need equal per-device shards; apps pad the tail and mask)."""
     d = mesh_size(mesh)
     return (batch + d - 1) // d * d
+
+
+def pad_batch(x, pad_to):
+    """Pad a (N, ...) batch up to ``pad_to`` rows by repeating the last row
+    (the eval apps' tail-padding idiom: padded outputs are sliced back to
+    the real row count, so the filler only has to be shape-compatible)."""
+    n = x.shape[0]
+    if n >= pad_to:
+        return x
+    reps = jnp.repeat(x[-1:], pad_to - n, axis=0)
+    return jnp.concatenate([x, reps], axis=0)
 
 
 def pad_to_multiple(x, multiple, axis=0):
