@@ -64,6 +64,15 @@ def base_training_argparse():
     p.add_argument("--n_sample", type=int, default=64)
     p.add_argument("--vis_batch_size", default=250, type=int)
     p.add_argument("--random_reals", action="store_true")
+    # observability (no reference equivalent):
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of training steps "
+                        "(profile_start, profile_stop] into this directory "
+                        "(view in TensorBoard/Perfetto)")
+    p.add_argument("--profile_start", type=int, default=5,
+                   help="last pre-trace iteration; keep past the first "
+                        "compile so the trace shows steady-state steps")
+    p.add_argument("--profile_stop", type=int, default=10)
     # LR schedule:
     p.add_argument("--period", default=37500, type=float)
     p.add_argument("--decay", default=0.9, type=float)

@@ -158,7 +158,9 @@ def main():
                      n_sample=args.n_sample, n_mean=args.n_mean,
                      vis_batch_size=args.vis_batch_size,
                      log_every=args.log_every, ckpt_every=args.ckpt_every,
-                     vis_every=args.vis_every)
+                     vis_every=args.vis_every, profile_dir=args.profile_dir,
+                     profile_start=args.profile_start,
+                     profile_stop=args.profile_stop)
 
 
 if __name__ == "__main__":

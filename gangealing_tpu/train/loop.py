@@ -69,8 +69,16 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
                      vis_batch_size: int = 250, log_every: int = 25,
                      ckpt_every: int = 50000, vis_every: int = 5000,
                      use_mesh: bool = True, export_torch_ckpts: bool = True,
-                     progress: bool = True):
-    """Run the training loop for cfg.iter iterations. Returns final state."""
+                     progress: bool = True, profile_dir: str = None,
+                     profile_start: int = 0, profile_stop: int = 0):
+    """Run the training loop for cfg.iter iterations. Returns final state.
+
+    ``profile_dir``: capture a jax.profiler trace (TensorBoard/Perfetto)
+    of iterations (profile_start, profile_stop] — a TPU-native
+    observability surface the reference has no equivalent of. The window
+    should sit past the first compile so the trace shows steady-state
+    device time, not compilation.
+    """
     writer = GANgealingWriter(results_path)
     with open(os.path.join(results_path, "opt.txt"), "w") as f:
         json.dump({k: str(v) for k, v in cfg.__dict__.items()}, f, indent=2)
@@ -134,9 +142,14 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
     if vis_every > 0:
         maybe_vis(start_iter, 1.0 if cfg.anneal_psi > 0 else 0.0)
 
+    profiling = False
     t0 = time.time()
     for idx in range(cfg.iter - start_iter):
         i = idx + start_iter + 1
+        if profile_dir and i == profile_start + 1 and not profiling:
+            jax.block_until_ready(state)  # trace starts on a step boundary
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         psi = psi_at_iter(i, cfg.anneal_psi, cfg.anneal_fn)
         lr_t = lr_used_at_iter(i, cfg.stn_lr, cfg.anneal_psi, cfg.period,
                                cfg.tm, cfg.decay)
@@ -149,6 +162,10 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
         state, metrics = step_fn(state, z, jax.random.fold_in(zk, 1),
                                  jnp.float32(psi), jnp.float32(lr_t),
                                  jnp.float32(lr_ll))
+        if profiling and i >= profile_stop:
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+            profiling = False
         if i % log_every == 0 or i in zero_lr:
             m = {k: float(v) for k, v in metrics.items()}
             writer.add_scalar("Loss/Reconstruction", m["p"], i)
@@ -166,6 +183,9 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
             save(i)
         if vis_every > 0 and (i % vis_every == 0 or i in early_vis):
             maybe_vis(i, psi)
+    if profiling:  # window extended past the last iteration
+        jax.block_until_ready(state)
+        jax.profiler.stop_trace()
     if progress:
         print()
     return state

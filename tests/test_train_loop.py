@@ -45,12 +45,18 @@ def test_full_loop_and_checkpoints(tmp_path):
                               debug=True)
     results = str(tmp_path / "results")
     os.makedirs(results, exist_ok=True)
+    trace_dir = str(tmp_path / "trace")
     state = train_gangealing(
         cfg, g_params, t_params, ll_params, None, _l2, results,
         n_sample=4, n_mean=4, log_every=1, ckpt_every=0, vis_every=0,
-        progress=False)
+        progress=False, profile_dir=trace_dir, profile_start=1,
+        profile_stop=2)
     assert int(state["step"]) == 3
     assert os.path.exists(os.path.join(results, "scalars.jsonl"))
+    # the profiler window wrote a trace (plugins/profile/<ts>/*.xplane.pb)
+    traces = [f for root, _, fs in os.walk(trace_dir)
+              for f in fs if f.endswith(".xplane.pb")]
+    assert traces, f"no xplane trace written under {trace_dir}"
 
     # native checkpoint roundtrip
     host_state = jax.tree.map(np.asarray, state)
