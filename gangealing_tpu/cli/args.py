@@ -68,11 +68,16 @@ def base_training_argparse():
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of training steps "
                         "(profile_start, profile_stop] into this directory "
-                        "(view in TensorBoard/Perfetto)")
+                        "(view in TensorBoard/Perfetto); the window counts "
+                        "steps executed by THIS run, so it also fires on "
+                        "--auto_resume")
     p.add_argument("--profile_start", type=int, default=5,
-                   help="last pre-trace iteration; keep past the first "
-                        "compile so the trace shows steady-state steps")
-    p.add_argument("--profile_stop", type=int, default=10)
+                   help="number of steps to run before the trace starts; "
+                        "keep past the first compile so the trace shows "
+                        "steady-state steps")
+    p.add_argument("--profile_stop", type=int, default=10,
+                   help="step count (of this run) after which the trace "
+                        "stops; must be > --profile_start")
     # LR schedule:
     p.add_argument("--period", default=37500, type=float)
     p.add_argument("--decay", default=0.9, type=float)

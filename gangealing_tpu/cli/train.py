@@ -78,7 +78,11 @@ def load_perceptual(args, key):
 
 
 def main():
-    args = base_training_argparse().parse_args()
+    parser = base_training_argparse()
+    args = parser.parse_args()
+    if args.profile_dir and args.profile_stop <= args.profile_start:
+        parser.error(f"--profile_stop ({args.profile_stop}) must be > "
+                     f"--profile_start ({args.profile_start})")
     if args.transform == ["similarity"]:
         assert args.tv_weight == 0, \
             "TV loss is not supported for similarity-only STNs"

@@ -76,9 +76,22 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
     ``profile_dir``: capture a jax.profiler trace (TensorBoard/Perfetto)
     of iterations (profile_start, profile_stop] — a TPU-native
     observability surface the reference has no equivalent of. The window
-    should sit past the first compile so the trace shows steady-state
-    device time, not compilation.
+    is relative to ``start_iter`` (so --auto_resume runs still capture:
+    a resumed run traces its (profile_start+1)-th .. profile_stop-th new
+    steps). It should sit past the first compile so the trace shows
+    steady-state device time, not compilation.
     """
+    if profile_dir:
+        if profile_stop <= profile_start:
+            raise ValueError(
+                f"profile_stop ({profile_stop}) must be > profile_start "
+                f"({profile_start}) when profile_dir is set")
+        if profile_start >= cfg.iter - start_iter:
+            raise ValueError(
+                f"profile window ({profile_start}, {profile_stop}] starts "
+                f"past the {cfg.iter - start_iter} steps this run will "
+                f"execute (start_iter={start_iter}, iter={cfg.iter}); "
+                "no trace would be captured")
     writer = GANgealingWriter(results_path)
     with open(os.path.join(results_path, "opt.txt"), "w") as f:
         json.dump({k: str(v) for k, v in cfg.__dict__.items()}, f, indent=2)
@@ -143,13 +156,14 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
         maybe_vis(start_iter, 1.0 if cfg.anneal_psi > 0 else 0.0)
 
     profiling = False
+    trace_first = None
     t0 = time.time()
     for idx in range(cfg.iter - start_iter):
         i = idx + start_iter + 1
-        if profile_dir and i == profile_start + 1 and not profiling:
+        if profile_dir and idx == profile_start and not profiling:
             jax.block_until_ready(state)  # trace starts on a step boundary
             jax.profiler.start_trace(profile_dir)
-            profiling = True
+            profiling, trace_first = True, i
         psi = psi_at_iter(i, cfg.anneal_psi, cfg.anneal_fn)
         lr_t = lr_used_at_iter(i, cfg.stn_lr, cfg.anneal_psi, cfg.period,
                                cfg.tm, cfg.decay)
@@ -162,10 +176,12 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
         state, metrics = step_fn(state, z, jax.random.fold_in(zk, 1),
                                  jnp.float32(psi), jnp.float32(lr_t),
                                  jnp.float32(lr_ll))
-        if profiling and i >= profile_stop:
+        if profiling and idx + 1 >= profile_stop:
             jax.block_until_ready(state)
             jax.profiler.stop_trace()
             profiling = False
+            print(f"\n[profiler] trace of iterations {trace_first}..{i} "
+                  f"written to {profile_dir}", flush=True)
         if i % log_every == 0 or i in zero_lr:
             m = {k: float(v) for k, v in metrics.items()}
             writer.add_scalar("Loss/Reconstruction", m["p"], i)
@@ -186,6 +202,9 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
     if profiling:  # window extended past the last iteration
         jax.block_until_ready(state)
         jax.profiler.stop_trace()
+        print(f"\n[profiler] trace of iterations {trace_first}..{cfg.iter} "
+              f"written to {profile_dir} (window extended past the last "
+              "iteration; captured what ran)", flush=True)
     if progress:
         print()
     return state

@@ -45,18 +45,12 @@ def test_full_loop_and_checkpoints(tmp_path):
                               debug=True)
     results = str(tmp_path / "results")
     os.makedirs(results, exist_ok=True)
-    trace_dir = str(tmp_path / "trace")
     state = train_gangealing(
         cfg, g_params, t_params, ll_params, None, _l2, results,
         n_sample=4, n_mean=4, log_every=1, ckpt_every=0, vis_every=0,
-        progress=False, profile_dir=trace_dir, profile_start=1,
-        profile_stop=2)
+        progress=False)
     assert int(state["step"]) == 3
     assert os.path.exists(os.path.join(results, "scalars.jsonl"))
-    # the profiler window wrote a trace (plugins/profile/<ts>/*.xplane.pb)
-    traces = [f for root, _, fs in os.walk(trace_dir)
-              for f in fs if f.endswith(".xplane.pb")]
-    assert traces, f"no xplane trace written under {trace_dir}"
 
     # native checkpoint roundtrip
     host_state = jax.tree.map(np.asarray, state)
@@ -78,6 +72,51 @@ def test_full_loop_and_checkpoints(tmp_path):
         back["t_ema"]["stns.0.warp_head.linear.bias"],
         np.asarray(host_state["t_ema"]["stns.0.warp_head.linear.bias"]))
     assert parse_start_iter(pt) == 3
+
+
+@pytest.mark.slow
+def test_profiler_trace_capture(tmp_path):
+    """The --profile_dir window writes an xplane trace, counts steps
+    relative to start_iter (so resumed runs still capture), and rejects
+    mis-ordered / out-of-range windows (ADVICE r3)."""
+    cfg = TrainConfig(g=G_CFG, t=T_CFG, ll=LL_CFG, batch=8, iter=3,
+                      anneal_psi=2, period=1)
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), T_CFG)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), LL_CFG)
+    ll_params = cold_start_ll(ll_params, g_params, cfg, jax.random.PRNGKey(3),
+                              debug=True)
+    results = str(tmp_path / "results")
+    os.makedirs(results, exist_ok=True)
+
+    # mis-ordered window rejected up front, before any compute
+    with pytest.raises(ValueError, match="profile_stop"):
+        train_gangealing(cfg, g_params, t_params, ll_params, None, _l2,
+                         results, vis_every=0, ckpt_every=0, progress=False,
+                         profile_dir=str(tmp_path / "bad"), profile_start=2,
+                         profile_stop=2)
+    # window past the steps this run will execute: rejected, not silent
+    with pytest.raises(ValueError, match="past"):
+        train_gangealing(cfg, g_params, t_params, ll_params, None, _l2,
+                         results, vis_every=0, ckpt_every=0, progress=False,
+                         profile_dir=str(tmp_path / "bad"), profile_start=5,
+                         profile_stop=10)
+
+    # a RESUMED run (start_iter=1) with a relative window (1, 2] traces its
+    # 2nd executed step (absolute iteration 3) — the r3 advisor scenario
+    # where an absolute-iteration window would silently never fire.
+    from gangealing_tpu.train.state import init_train_state
+    trace_dir = str(tmp_path / "trace")
+    state = train_gangealing(
+        cfg, g_params, t_params, ll_params, None, _l2, results,
+        start_iter=1, resume_state=init_train_state(t_params, ll_params),
+        n_sample=4, n_mean=4, log_every=1, ckpt_every=0, vis_every=0,
+        progress=False, profile_dir=trace_dir, profile_start=1,
+        profile_stop=2)
+    assert int(state["step"]) == 2
+    traces = [f for root, _, fs in os.walk(trace_dir)
+              for f in fs if f.endswith(".xplane.pb")]
+    assert traces, f"no xplane trace written under {trace_dir}"
 
 
 def test_cold_start_clustering(tmp_path):
