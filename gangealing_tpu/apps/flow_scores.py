@@ -44,15 +44,24 @@ def compute_flow_scores(params, cfg: ComposedSTNConfig, data_path,
     ``mesh``: optional 1-D device mesh — batches are sharded over the data
     axis (the reference rank-shards this loop, flow_scores.py:33-41; here
     each image's score is computed on one device and results read back in
-    order, so no de-interleave step is needed)."""
-    from gangealing_tpu.parallel import (pad_batch, replicate,
-                                         round_up_batch, shard_batch)
+    order, so no de-interleave step is needed).
+
+    Multi-process runtime: each process scores its stride of the dataset
+    on its local devices and the full score array is assembled with an
+    all-gather + de-interleave, exactly the reference's
+    all_gather(...).permute(1, 0).reshape(-1)[:N] reduction
+    (flow_scores.py:39-42); only the primary process writes the cache."""
+    from gangealing_tpu.parallel import (all_gather_hosts, pad_batch,
+                                         replicate, round_up_batch,
+                                         shard_batch)
+    n_proc = jax.process_count()
     dset = MultiResolutionDataset(data_path, resolution=real_size)
     # Round the batch itself up to a device multiple so every full step
     # carries real images; only the final tail batch is padded.
     batch = round_up_batch(batch, mesh)
     loader = DataLoader(dset, batch_size=batch, shuffle=False,
-                        drop_last=False)
+                        drop_last=False, num_shards=n_proc,
+                        shard_index=jax.process_index())
     score_fn = make_score_fn(cfg, iters=iters, padding_mode=padding_mode,
                              no_flip_inference=no_flip_inference)
     if mesh is not None:
@@ -66,8 +75,14 @@ def compute_flow_scores(params, cfg: ComposedSTNConfig, data_path,
             xb = shard_batch(mesh, xb)
         s = np.asarray(score_fn(params, xb))[:n]
         scores.append(s)
-    scores = np.concatenate(scores)[:len(dset)]
-    if save:
+    scores = np.concatenate(scores)
+    if n_proc > 1:
+        # (P, ceil(N/P)) -> stride-interleaved global order -> trim the
+        # wrap padding the striding added
+        gathered = np.asarray(all_gather_hosts(scores))
+        scores = gathered.transpose(1, 0).reshape(-1)
+    scores = scores[:len(dset)]
+    if save and jax.process_index() == 0:
         import torch
         torch.save(torch.from_numpy(np.ascontiguousarray(scores)),
                    os.path.join(data_path, "flow_scores.pt"))

@@ -155,6 +155,16 @@ def pck_transfer(params, cfg: ComposedSTNConfig, loader, alphas=(0.1,),
             print(f"\rpck pairs: {pairs_seen}", end="", flush=True)
     if progress:
         print()
+    if jax.process_count() > 1:
+        # cross-host reduction of the correct counts and visible-keypoint
+        # totals — the reference's all_gather(correct).sum /
+        # all_gather(key_points_seen).sum (applications/pck.py:172-174);
+        # the caller gives each process its own pair stripe (run_pck)
+        from gangealing_tpu.parallel import all_gather_hosts
+        correct = np.asarray(
+            all_gather_hosts(correct.astype(np.float64))).sum(axis=0)
+        kps_seen = float(np.asarray(all_gather_hosts(
+            np.asarray([kps_seen], np.float64))).sum())
     return correct / max(kps_seen, 1.0)
 
 
@@ -243,8 +253,17 @@ def run_pck(ckpt_path, data_path, alphas=(0.1, 0.05, 0.01), real_size=256,
     permutation = dset.mirror_permutation
     if num_pairs is None:
         num_pairs = len(dset)
+    # Multi-process: each process evaluates its stride of the pairs and
+    # pck_transfer cross-host-reduces the counts (reference
+    # DistributedSampler striding + all_gather, pck.py:110,172-174; like
+    # the reference, uneven splits wrap — the duplicated tail pairs are
+    # counted once per process that saw them).
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        num_pairs = (num_pairs + n_proc - 1) // n_proc
     loader = DataLoader(dset, batch_size=batch, shuffle=False,
-                        drop_last=False)
+                        drop_last=False, num_shards=n_proc,
+                        shard_index=jax.process_index())
     pck = pck_transfer(params, cfg, loader, alphas=alphas,
                        num_pairs=num_pairs, iters=iters,
                        padding_mode=padding_mode,

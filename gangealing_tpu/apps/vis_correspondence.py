@@ -89,21 +89,42 @@ def smooth_propagation_video(params, cfg: ComposedSTNConfig, images,
 
 def average_image_video(params, cfg: ComposedSTNConfig, images,
                         num_frames=60, iters=1, padding_mode="border",
-                        out_path=None, fps=30, batch=16):
+                        out_path=None, fps=30, batch=16, mesh=None):
     """Animate the dataset average image sharpening as alpha goes 0->1
-    (vis_correspondence.py:335-437)."""
+    (vis_correspondence.py:335-437).
+
+    ``mesh``: optional 1-D device mesh — each warp batch is sharded over
+    the data axis and reduced on device, the TPU equivalent of the
+    reference's per-rank ``n_mean // world_size`` shards + all_gather mean
+    (vis_correspondence.py:338-379)."""
+    import jax
+    from gangealing_tpu.parallel import (pad_batch, replicate,
+                                         round_up_batch, shard_batch)
     images = np.asarray(images)
     N, C, S, _ = images.shape
+    batch = round_up_batch(batch, mesh)
+    if mesh is not None:
+        params = replicate(mesh, params)
+
+    @jax.jit
+    def batch_sum(params, xb, a, w):
+        out, _, _, _, _ = composed_stn_forward(
+            params, cfg, xb, output_resolution=S, iters=iters,
+            alpha=jnp.full((xb.shape[0],), a), padding_mode=padding_mode)
+        # w zeroes padded tail rows so they never enter the mean
+        return jnp.sum(out * w[:, None, None, None], axis=0)
+
     frames = []
     for a in interpolation_alphas(num_frames):
         acc = np.zeros((C, S, S), np.float32)
         for s in range(0, N, batch):
-            xb = jnp.asarray(images[s:s + batch])
-            out, _, _, _, _ = composed_stn_forward(
-                params, cfg, xb, output_resolution=S, iters=iters,
-                alpha=jnp.full((xb.shape[0],), a),
-                padding_mode=padding_mode)
-            acc += np.asarray(out).sum(axis=0)
+            n = min(batch, N - s)
+            xb = pad_batch(jnp.asarray(images[s:s + n]), batch)
+            w = (jnp.arange(batch) < n).astype(jnp.float32)
+            if mesh is not None:
+                xb = shard_batch(mesh, xb)
+                w = shard_batch(mesh, w)
+            acc += np.asarray(batch_sum(params, xb, jnp.float32(a), w))
         mean = (acc / N)[None]
         frames.append(images2grid(mean, nrow=1, normalize=True))
     if out_path is not None:
@@ -112,17 +133,30 @@ def average_image_video(params, cfg: ComposedSTNConfig, images,
 
 
 def bucket_real_images_by_cluster(classifier_params, classifier_cfg, images,
-                                  num_heads, batch=32):
+                                  num_heads, batch=32, mesh=None):
     """Assign real images to clusters with the classifier
-    (vis_correspondence.py:301-332). Returns list of index arrays."""
+    (vis_correspondence.py:301-332). Returns list of index arrays.
+
+    ``mesh``: optional 1-D device mesh — classifier batches are sharded
+    over the data axis (the reference buckets per-rank shards and
+    all_gathervs the indices, vis_correspondence.py:310-327; here results
+    come back in dataset order so no gather/de-interleave is needed)."""
     from gangealing_tpu.models.classifier import classifier_assign
+    from gangealing_tpu.parallel import (pad_batch, replicate,
+                                         round_up_batch, shard_batch)
     images = np.asarray(images)
+    batch = round_up_batch(batch, mesh)
+    if mesh is not None:
+        classifier_params = replicate(mesh, classifier_params)
     assignments = []
     for s in range(0, images.shape[0], batch):
-        a = classifier_assign(classifier_params, classifier_cfg,
-                              jnp.asarray(images[s:s + batch]),
+        n = min(batch, images.shape[0] - s)
+        xb = pad_batch(jnp.asarray(images[s:s + n]), batch)
+        if mesh is not None:
+            xb = shard_batch(mesh, xb)
+        a = classifier_assign(classifier_params, classifier_cfg, xb,
                               ignore_flips=True)
-        assignments.append(np.asarray(a))
+        assignments.append(np.asarray(a)[:n])
     assignments = np.concatenate(assignments)
     return [np.where(assignments == k)[0] for k in range(num_heads)]
 

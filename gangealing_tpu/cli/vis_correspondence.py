@@ -88,10 +88,12 @@ def main():
                                     padding_mode=args.padding_mode,
                                     out_path=out, fps=args.fps)
     else:
+        from gangealing_tpu.parallel import auto_mesh
         vc.average_image_video(params, cfg, imgs, args.length,
                                iters=args.iters,
                                padding_mode=args.padding_mode,
-                               out_path=out, fps=args.fps)
+                               out_path=out, fps=args.fps,
+                               mesh=auto_mesh(args.num_devices))
     print(f"Wrote {out}")
 
 

@@ -48,16 +48,26 @@ def replicated_sharding(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def _spans_other_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices this process cannot address
+    (a true multi-host mesh, vs. a local per-process eval mesh)."""
+    if jax.process_count() == 1:
+        return False
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Place a batch pytree onto the mesh, leading axis sharded. Equivalent
     of DistributedSampler's rank striding — but layout is contiguous blocks
     per device.
 
-    Single process: ``batch`` is the global batch (device_put lays it out).
-    Multi process: ``batch`` is this process's LOCAL shard — the global
-    array is assembled from all processes' shards without any cross-host
-    transfer (jax.make_array_from_process_local_data)."""
-    multi = jax.process_count() > 1
+    Mesh of addressable devices: ``batch`` is the global batch (device_put
+    lays it out). Mesh spanning other processes: ``batch`` is this
+    process's LOCAL shard — the global array is assembled from all
+    processes' shards without any cross-host transfer
+    (jax.make_array_from_process_local_data)."""
+    multi = _spans_other_processes(mesh)
 
     def put(x):
         sh = data_sharding(mesh, np.ndim(x), axis_name)
@@ -68,13 +78,13 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a (host-identical) pytree over the whole mesh. Multi
-    process: every process must pass the same values; the global replicated
-    array is assembled from each process's local copy without cross-host
-    transfer (the mesh spans non-addressable devices, so device_put alone
-    would fail there)."""
+    """Replicate a (host-identical) pytree over the whole mesh. Mesh
+    spanning other processes: every process must pass the same values; the
+    global replicated array is assembled from each process's local copy
+    without cross-host transfer (the mesh spans non-addressable devices,
+    so device_put alone would fail there)."""
     sh = replicated_sharding(mesh)
-    if jax.process_count() > 1:
+    if _spans_other_processes(mesh):
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(
                 sh, np.asarray(x)), tree)
@@ -98,11 +108,19 @@ def auto_mesh(num_devices: Optional[int] = None,
     eval app shards its batches over all local chips by default
     (applications/congeal_dataset.py:32, flow_scores.py:40-41,
     mixed_reality.py:28-33, pck.py:172-174 all rank-stride). Pass
-    ``num_devices`` to cap the mesh; 1 disables sharding entirely."""
-    n = len(jax.devices()) if num_devices is None else num_devices
+    ``num_devices`` to cap the mesh; 1 disables sharding entirely.
+
+    Under a multi-process runtime the mesh covers only THIS process's
+    local devices: eval apps follow the reference's per-rank design (each
+    process strides the dataset and computes its stripe independently,
+    then reduces with all_gather_hosts), rather than lock-stepping one
+    global batch across hosts."""
+    devices = jax.local_devices() if jax.process_count() > 1 \
+        else jax.devices()
+    n = len(devices) if num_devices is None else num_devices
     if n <= 1:
         return None
-    return make_mesh(n, axis_name)
+    return make_mesh(n, axis_name, devices=devices)
 
 
 def mesh_size(mesh: Optional[Mesh]) -> int:

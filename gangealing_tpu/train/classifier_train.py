@@ -15,6 +15,7 @@ import optax
 
 from gangealing_tpu.models.classifier import (
     ClassifierConfig, classifier_forward, reverse_topk_accuracy)
+from gangealing_tpu.parallel import make_mesh, shard_batch, replicate
 from gangealing_tpu.train.losses import assign_fake_images_to_clusters
 from gangealing_tpu.train.state import TrainConfig, adam
 from gangealing_tpu.train.annealing import lr_used_at_iter
@@ -84,11 +85,32 @@ def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
                              iters: int, cls_lr: float = 0.001,
                              period: float = 2500.0, decay: float = 0.9,
                              tm: int = 2, seed: int = 0, log_every: int = 25,
-                             writer=None, progress: bool = True):
+                             writer=None, progress: bool = True,
+                             use_mesh: bool = True):
+    """Post-hoc classifier training. With >1 device (and ``use_mesh``) the
+    fake-image batch is sharded over a 1-D data mesh with all frozen params
+    and the classifier replicated — the TPU equivalent of the reference's
+    DDP wrap (train_cluster_classifier.py:204-207): XLA inserts the
+    gradient psums over ICI inside the jitted step."""
+    # shard over the largest device count that divides the batch (a sharded
+    # batch needs equal per-device shards; padding would change the loss
+    # mean, so small batches just use fewer chips)
+    n_dev = jax.device_count()
+    while n_dev > 1 and cfg.batch % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev) if use_mesh and n_dev > 1 else None
+    if mesh is not None:
+        g_params, t_params, ll_params, cls_params = (
+            replicate(mesh, p) for p in
+            (g_params, t_params, ll_params, cls_params))
+        if perceptual_params is not None:
+            perceptual_params = replicate(mesh, perceptual_params)
     step = make_classifier_train_step(cfg, cls_cfg, g_params, t_params,
                                       ll_params, perceptual_params,
                                       perceptual_fn)
     opt_state = adam().init(cls_params)
+    if mesh is not None:
+        opt_state = replicate(mesh, opt_state)
     key = jax.random.PRNGKey(seed)
     for i in range(1, iters + 1):
         # LR actually applied at iteration i: the reference steps the sched
@@ -96,9 +118,16 @@ def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
         # update runs on the epoch-(i-1)/period LR (anneal_psi forced to 0,
         # :148). Pinned by test_classifier_training_dynamics_parity.
         lr = lr_used_at_iter(i, cls_lr, 0, period, t_mult=tm, decay=decay)
+        step_key = jax.random.fold_in(key, i)
+        # z is materialized host-side from the exact split the kernel
+        # would use for z=None (losses.py:33-35), so mesh and no-mesh runs
+        # see bit-identical latents; only the layout differs.
+        kz = jax.random.split(step_key, 3)[0]
+        z = jax.random.normal(kz, (cfg.batch, cfg.g.style_dim))
+        if mesh is not None:
+            z = shard_batch(mesh, z)
         cls_params, opt_state, metrics = step(
-            cls_params, opt_state, jax.random.fold_in(key, i),
-            jnp.float32(lr))
+            cls_params, opt_state, step_key, jnp.float32(lr), z)
         if (i % log_every == 0 or i == 1):
             m = {k: np.asarray(v) for k, v in metrics.items()}
             if writer is not None:

@@ -19,7 +19,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
-_NDEV = "4" if sys.argv[1] == "single" else "2"
+_NDEV = "4" if sys.argv[1] in ("single", "flow_single") else "2"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count="
                            + _NDEV)
@@ -29,8 +29,43 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def flow_main():
+    """Sharded flow-score eval: each process scores its dataset stride on
+    its local 2-device mesh and compute_flow_scores assembles the global
+    array with all_gather_hosts — the multi-host eval-reduction path
+    (reference applications/flow_scores.py:39-42)."""
+    mode = sys.argv[1]
+    if mode == "flow":
+        pid, port, data_path = int(sys.argv[2]), sys.argv[3], sys.argv[4]
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=2, process_id=pid)
+        assert jax.process_count() == 2
+    else:
+        data_path = sys.argv[2]
+
+    from gangealing_tpu.apps.flow_scores import compute_flow_scores
+    from gangealing_tpu.models.stn import (
+        ComposedSTNConfig, composed_stn_init)
+    from gangealing_tpu.parallel import auto_mesh
+
+    cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=64,
+                            supersize=64, channel_multiplier=0.25,
+                            flow_downsample=4, max_channels=32)
+    params = composed_stn_init(jax.random.PRNGKey(0), cfg)
+    k = "stns.1.warp_head.flow_out.2.weight"
+    params[k] = 0.05 * jax.random.normal(jax.random.PRNGKey(7),
+                                         params[k].shape)
+    scores = compute_flow_scores(params, cfg, data_path, real_size=64,
+                                 batch=3, no_flip_inference=True, save=False,
+                                 mesh=auto_mesh())
+    print("SCORES " + ",".join(f"{s:.8f}" for s in scores), flush=True)
+
+
 def main():
     mode = sys.argv[1]
+    if mode in ("flow", "flow_single"):
+        return flow_main()
     if mode == "multi":
         pid, port = int(sys.argv[2]), sys.argv[3]
         jax.distributed.initialize(

@@ -47,6 +47,56 @@ def _run(args, timeout=420):
 
 
 @pytest.mark.slow
+def test_two_process_flow_scores_match_single_controller(tmp_path):
+    """Sharded EVAL app across a real 2-process cluster: each process
+    scores its dataset stride on its local devices; compute_flow_scores
+    reassembles the global score array via all_gather_hosts + the
+    reference's permute-de-interleave (flow_scores.py:39-42). Must equal
+    the single-controller run image-for-image."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from gangealing_tpu.data.lmdb_io import write_lmdb
+
+    n, S = 10, 64
+    rng = np.random.RandomState(0)
+    items = {b"length": str(n).encode()}
+    for i in range(n):
+        buf = io.BytesIO()
+        Image.fromarray((rng.rand(S, S, 3) * 255).astype(np.uint8)).save(
+            buf, format="PNG")
+        items[f"{S}-{str(i).zfill(5)}".encode()] = buf.getvalue()
+    data_path = str(tmp_path / "imgs")
+    write_lmdb(data_path, items)
+
+    def parse_scores(out):
+        m = re.search(r"SCORES ([-\d.,e]+)", out)
+        assert m, f"no SCORES line in output:\n{out}"
+        return np.asarray([float(x) for x in m.group(1).split(",")])
+
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), "flow", str(pid), port, data_path],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(WORKER.parent.parent)) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    s0 = parse_scores(outs[0][0])
+    s1 = parse_scores(outs[1][0])
+    np.testing.assert_allclose(s0, s1, atol=1e-7)  # both see the gather
+
+    single = _run(["flow_single", data_path])
+    assert single.returncode == 0, (
+        f"single failed:\n{single.stdout}\n{single.stderr[-3000:]}")
+    ss = parse_scores(single.stdout)
+    assert ss.shape == s0.shape == (n,)
+    np.testing.assert_allclose(s0, ss, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_train_step_matches_single_controller():
     port = str(_free_port())
     p0 = subprocess.Popen(

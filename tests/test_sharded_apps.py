@@ -161,6 +161,124 @@ def test_propagate_sharded_equals_single(tmp_path, rng):
                                    err_msg=k)
 
 
+@pytest.mark.slow
+def test_flow_scores_sharded_equals_single_flagship_shape(tmp_path, rng):
+    """Sharded-vs-single equality at the FLAGSHIP shape (256px real /
+    128px flow, channel_multiplier 0.5) — closes the 'sharding only
+    tested at toy size' risk: the toy tests catch wiring bugs, this one
+    catches shape-dependent sharding/layout bugs at the published
+    operating point."""
+    from gangealing_tpu.apps.flow_scores import compute_flow_scores
+    R = 256
+    cfg = ComposedSTNConfig(transforms=("similarity", "flow"),
+                            flow_size=128, supersize=R,
+                            channel_multiplier=0.5)
+    params = composed_stn_init(jax.random.PRNGKey(0), cfg)
+    k = "stns.1.warp_head.flow_out.2.weight"
+    params[k] = 0.05 * jax.random.normal(jax.random.PRNGKey(7),
+                                         params[k].shape)
+    n = 10
+    imgs = (rng.rand(n, R, R, 3) * 255).astype(np.uint8)
+    items = {b"length": str(n).encode()}
+    for i in range(n):
+        items[f"{R}-{str(i).zfill(5)}".encode()] = _encode_png(imgs[i])
+    path = str(tmp_path / "imgs256")
+    write_lmdb(path, items)
+
+    kwargs = dict(real_size=R, batch=8, no_flip_inference=True, save=False)
+    single = compute_flow_scores(params, cfg, path, **kwargs)
+    sharded = compute_flow_scores(params, cfg, path, mesh=auto_mesh(),
+                                  **kwargs)
+    assert single.shape == sharded.shape == (n,)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_average_image_video_sharded_equals_single(rng):
+    """vis_correspondence's average-image path sharded over the mesh equals
+    the single-device run, incl. a ragged tail (5 images, batch 3 -> padded
+    to 8); the reference rank-shards this loop
+    (applications/vis_correspondence.py:338-379)."""
+    from gangealing_tpu.apps.vis_correspondence import average_image_video
+    params = _params()
+    imgs = rng.randn(5, 3, S, S).astype(np.float32) * 0.3
+    f1 = average_image_video(params, CFG, imgs, num_frames=3, batch=3)
+    f8 = average_image_video(params, CFG, imgs, num_frames=3, batch=3,
+                             mesh=auto_mesh())
+    assert len(f1) == len(f8) == 3
+    for a, b in zip(f1, f8):
+        # frames quantize to uint8; allow 1 level of rounding skew
+        assert np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)
+                      ).max() <= 1
+
+
+def test_bucket_by_cluster_sharded_equals_single(rng):
+    """Cluster bucketing sharded over the mesh returns identical index
+    buckets (reference all_gathervs per-rank buckets,
+    applications/vis_correspondence.py:310-327)."""
+    from gangealing_tpu.apps.vis_correspondence import (
+        bucket_real_images_by_cluster)
+    from gangealing_tpu.models.classifier import (
+        ClassifierConfig, classifier_init)
+    cfg = ClassifierConfig(size=S, supersize=S, channel_multiplier=0.25,
+                           num_heads=4, max_channels=32)
+    cls_params = classifier_init(jax.random.PRNGKey(0), cfg)
+    imgs = rng.randn(10, 3, S, S).astype(np.float32)
+    b1 = bucket_real_images_by_cluster(cls_params, cfg, imgs, 2, batch=3)
+    b8 = bucket_real_images_by_cluster(cls_params, cfg, imgs, 2, batch=3,
+                                       mesh=auto_mesh())
+    assert len(b1) == len(b8) == 2
+    for x, y in zip(b1, b8):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_classifier_training_sharded_equals_single():
+    """Cluster-classifier training sharded over the 8-device mesh matches
+    the single-device run (the TPU analogue of the reference's DDP wrap,
+    train_cluster_classifier.py:204-207)."""
+    from gangealing_tpu.models.stylegan2 import (
+        GeneratorConfig, generator_init)
+    from gangealing_tpu.models.latent_learner import (
+        LatentLearnerConfig, latent_learner_init)
+    from gangealing_tpu.models.classifier import (
+        ClassifierConfig, classifier_init)
+    from gangealing_tpu.train.state import TrainConfig
+    from gangealing_tpu.train.classifier_train import (
+        train_cluster_classifier, warm_start_from_stn)
+
+    g_cfg = GeneratorConfig(size=S, style_dim=32, n_mlp=2,
+                            channel_multiplier=1, max_channels=32)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
+                              supersize=S, channel_multiplier=0.25,
+                              flow_downsample=4, max_channels=32, num_heads=2)
+    ll_cfg = LatentLearnerConfig(n_comps=2, inject_index=3,
+                                 n_latent=g_cfg.n_latent, num_heads=2,
+                                 style_dim=32)
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=8, flips=True)
+    cls_cfg = ClassifierConfig(size=S, supersize=S, channel_multiplier=0.25,
+                               num_heads=4, max_channels=32)
+    g_params = generator_init(jax.random.PRNGKey(0), g_cfg)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), t_cfg)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
+    cls0 = classifier_init(jax.random.PRNGKey(3), cls_cfg)
+    cls0 = warm_start_from_stn(cls0, t_params)
+
+    def l2(p, x, y):
+        return jnp.mean((x - y) ** 2, axis=(1, 2, 3), keepdims=True)
+
+    def run(use_mesh):
+        params, _ = train_cluster_classifier(
+            cfg, cls_cfg, g_params, t_params, ll_params, dict(cls0), None,
+            l2, iters=3, progress=False, use_mesh=use_mesh)
+        return jax.tree.map(np.asarray, params)
+
+    single = run(False)
+    sharded = run(True)
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_mixed_reality_sharded_equals_single(tmp_path, rng):
     from gangealing_tpu.apps.mixed_reality import run_gangealing_on_video
     from PIL import Image
