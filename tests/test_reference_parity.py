@@ -703,6 +703,223 @@ def test_training_dynamics_parity():
                   f"(budget {6 * ITERS * lr:.1e})", flush=True)
 
 
+@pytest.mark.slow
+def test_cluster_training_dynamics_parity():
+    """The CLUSTER training path (K=2 heads + flips) per iteration vs the
+    actual reference: the reference ``gangealing_cluster_loss`` body
+    (loss.py:78-92 — cartesian assignment over heads x flips, min-gather,
+    assigned-head-only TV/identity regularization) run inside the reference
+    iteration (train.py:89-135) against our jitted cluster train step on
+    identical weights and an identical z sequence, spanning the psi->0
+    boundary and SGDR stepping.
+
+    Asserts per-iteration cluster ASSIGNMENTS (the argmin indices that
+    route gradients), per-iteration losses, and final STN / ll / EMA
+    parameters. The public reference fn draws its own z, so its body is
+    replicated verbatim on a shared z (same approach as
+    test_cluster_loss_parity)."""
+    import copy
+
+    import models.stylegan2.networks as nw
+    from models.spatial_transformers.spatial_transformer import get_stn
+    from models.latent_learner import DirectionInterpolator
+    from models.losses.loss import (
+        assign_fake_images_to_clusters as ref_assign,
+        total_variation_loss as ref_tv, flow_identity_loss as ref_fi)
+    from models.losses.lpips import LPIPS
+    from models import accumulate
+    from utils.annealing import (
+        DecayingCosineAnnealingWarmRestarts, get_psi_annealing_fn)
+
+    from gangealing_tpu.models.stylegan2 import GeneratorConfig
+    from gangealing_tpu.models.stn import ComposedSTNConfig
+    from gangealing_tpu.models.latent_learner import LatentLearnerConfig
+    from gangealing_tpu.models.lpips import (
+        import_torchvision_vgg, lpips_distance)
+    from gangealing_tpu.train.losses import (
+        assign_fake_images_to_clusters as our_assign)
+    from gangealing_tpu.train.state import (
+        TrainConfig, init_train_state, make_train_step)
+    from gangealing_tpu.train.annealing import psi_at_iter, lr_used_at_iter
+
+    torch.manual_seed(0)
+    S, D, N_MLP, BATCH, K = 64, 64, 2, 2, 2
+    ANNEAL_PSI, PERIOD, TM, DECAY = 2, 2.0, 2, 0.9
+    STN_LR, LL_LR, TVW, FIW = 1e-3, 1e-2, 1000.0, 1.0
+    ITERS = 5  # spans the psi->0 boundary (i=3) and sched stepping
+
+    # --- reference models ---------------------------------------------------
+    g = nw.Generator(S, D, N_MLP).eval()
+    for name, p in g.named_parameters():  # keep noise injection inert
+        if "noise" in name and "weight" in name:
+            with torch.no_grad():
+                p.zero_()
+    stn = get_stn(["similarity", "flow"], flow_size=S, supersize=S,
+                  channel_multiplier=0.5, num_heads=K)
+    ref_shim.randomize_module(stn, scale=0.002, seed=7)
+    t_ema = copy.deepcopy(stn)
+    ll = DirectionInterpolator(pca_path=None, n_comps=2, inject_index=2,
+                               n_latent=g.n_latent, num_heads=K)
+    gbuf = torch.Generator().manual_seed(11)
+    ll.register_buffer("directions",
+                       torch.randn(2, D, generator=gbuf) * 0.1)
+    ll.register_buffer("lat_mean", torch.randn(1, D, generator=gbuf) * 0.1)
+    with torch.no_grad():  # distinct heads so the argmin is unambiguous
+        ll.coefficients.copy_(torch.randn(K, 2, generator=gbuf))
+    lp = LPIPS(net="vgg", lpips=False, pnet_rand=True, pretrained=False,
+               verbose=False).eval()
+    ref_loss_fn = lambda x, y: lp(x, y) / 18.0
+
+    t_optim = torch.optim.Adam(stn.parameters(), lr=STN_LR,
+                               betas=(0.9, 0.999), eps=1e-8)
+    ll_optim = torch.optim.Adam(ll.parameters(), lr=LL_LR,
+                                betas=(0.9, 0.999), eps=1e-8)
+    t_sched = DecayingCosineAnnealingWarmRestarts(t_optim, T_0=1, T_mult=TM,
+                                                  decay=DECAY)
+    ll_sched = DecayingCosineAnnealingWarmRestarts(ll_optim, T_0=1,
+                                                   T_mult=TM, decay=DECAY)
+    anneal_fn = get_psi_annealing_fn("cosine")
+    accum = 0.5 ** (32 / (10 * 1000))  # train.py:77
+
+    zs = [torch.randn(BATCH, D, generator=torch.Generator().manual_seed(i))
+          for i in range(1, ITERS + 1)]
+
+    # --- our models (identical weights via the torch importer) -------------
+    g_cfg = GeneratorConfig(size=S, style_dim=D, n_mlp=N_MLP)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=S,
+                              supersize=S, channel_multiplier=0.5,
+                              num_heads=K)
+    ll_cfg = LatentLearnerConfig(n_comps=2, inject_index=2,
+                                 n_latent=g.n_latent, num_heads=K,
+                                 style_dim=D)
+    jp = lambda sd: {k: jnp.asarray(v)
+                     for k, v in import_state_dict(sd).items()}
+    g_params = jp(g.state_dict())
+    t_params = jp(stn.state_dict())
+    ll_params = jp(ll.state_dict())
+    vgg_params = import_torchvision_vgg(lp.state_dict())
+
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=BATCH,
+                      stn_lr=STN_LR, ll_lr=LL_LR, tv_weight=TVW,
+                      flow_identity_weight=FIW, anneal_psi=ANNEAL_PSI,
+                      anneal_fn="cosine", period=PERIOD, decay=DECAY, tm=TM,
+                      padding_mode="border", loss_fn="vgg_ssl", flips=True,
+                      sample_from_full_res=True)
+    state = init_train_state(t_params, ll_params)
+    pfn = lambda p, x, y: lpips_distance(p, x, y, use_lins=False) / 18.0
+    step = make_train_step(cfg, g_params, vgg_params, pfn, donate=False)
+
+    @jax.jit
+    def our_assignments(t_p, ll_p, z, psi):
+        _, min_idx, _, _, _, _, _ = our_assign(
+            g_params, g_cfg, t_p, t_cfg, ll_p, ll_cfg,
+            lambda x, y: pfn(vgg_params, x, y), jax.random.PRNGKey(0), psi,
+            BATCH, num_heads=K, flips=True, sample_from_full_res=True,
+            padding_mode="border", z=z)
+        return min_idx
+
+    ref_losses, our_losses = [], []
+    forked = None
+    for i in range(1, ITERS + 1):
+        # ---- reference iteration (train.py:89-135, cluster branch) ----
+        if i <= ANNEAL_PSI:
+            psi = anneal_fn(i, 1.0, 0.0, ANNEAL_PSI).item()
+            psi_is_fixed = False
+        else:
+            psi, psi_is_fixed = 0.0, True
+        ref_min, _, ref_df, _, _, ref_dist = ref_assign(
+            g, stn, ll, ref_loss_fn, torch.nn.Sequential(), psi, BATCH, D,
+            freeze_ll=False, num_heads=K, flips=True, device="cpu",
+            sample_from_full_res=True, z=zs[i - 1])
+
+        # ---- pre-update assignment must agree on both sides ----------------
+        psi_ours = psi_at_iter(i, ANNEAL_PSI, "cosine")
+        assert abs(psi_ours - psi) < 1e-6
+        z = jnp.asarray(np.asarray(zs[i - 1]))
+        idx = np.asarray(our_assignments(state["t"], state["ll"], z,
+                                         jnp.float32(psi_ours))
+                         ).astype(np.int64)
+        ref_idx = np.asarray(ref_min.indices)
+        if not np.array_equal(idx, ref_idx):
+            # After several Adam iterations of accumulated cross-framework
+            # float noise, a borderline sample's argmin can legitimately
+            # flip. That is only acceptable if it IS borderline: the two
+            # competing (head, flip) distances must be within noise of
+            # each other. Past a fork the trajectories route gradients
+            # through different heads and stop being comparable.
+            d = np.asarray(ref_dist.detach())
+            for n in range(BATCH):
+                if idx[n] != ref_idx[n]:
+                    gap = abs(d[n, idx[n]] - d[n, ref_idx[n]])
+                    assert gap <= 2e-3 + 0.01 * abs(d[n, ref_idx[n]]), \
+                        (f"iter {i} sample {n}: assignment diverged with a "
+                         f"non-tie distance gap {gap:.2e} "
+                         f"(ref {ref_idx[n]} vs ours {idx[n]})")
+            forked = i
+            break
+
+        # gangealing_cluster_loss body on the shared z (loss.py:85-92)
+        ploss = ref_min.values.mean()
+        HW2 = ref_df.size()[1:]
+        df = ref_df.view(2, BATCH, K, *HW2).permute(1, 0, 2, 3, 4, 5)
+        assigned = df.reshape(BATCH, 2 * K, *HW2)[torch.arange(BATCH),
+                                                  ref_min.indices]
+        tv = ref_tv(assigned)
+        fi = ref_fi(assigned)
+        stn.zero_grad()
+        ll.zero_grad()
+        (ploss + TVW * tv + FIW * fi).backward()
+        lr_used_ref = t_optim.param_groups[0]["lr"]
+        t_optim.step()
+        ll_optim.step()
+        if psi_is_fixed:
+            epoch = max(0, (i - ANNEAL_PSI) / PERIOD)
+            t_sched.step(epoch)
+            ll_sched.step(epoch)
+        accumulate(t_ema, stn, accum)
+        ref_losses.append((float(ploss.detach()), float(tv.detach()),
+                           float(fi.detach())))
+
+        # ---- our iteration -------------------------------------------------
+        lr_t = lr_used_at_iter(i, STN_LR, ANNEAL_PSI, PERIOD, TM, DECAY)
+        lr_ll = lr_used_at_iter(i, LL_LR, ANNEAL_PSI, PERIOD, TM, DECAY)
+        assert abs(lr_t - lr_used_ref) < 1e-12, (i, lr_t, lr_used_ref)
+        state, metrics = step(state, z, jax.random.PRNGKey(i),
+                              jnp.float32(psi_ours), jnp.float32(lr_t),
+                              jnp.float32(lr_ll))
+        our_losses.append((float(metrics["p"]), float(metrics["tv"]),
+                           float(metrics["f"])))
+
+    # the trajectories must stay assignment-identical for most of the run —
+    # a tie-fork is only tolerable near the end
+    done = forked - 1 if forked is not None else ITERS
+    assert done >= ITERS - 1, \
+        f"cluster assignments forked at iteration {forked} (too early)"
+
+    # same tolerance rationale as test_training_dynamics_parity: iteration 1
+    # is pre-update (tight); later iterations carry Adam sign noise (~3%)
+    r1, o1 = ref_losses[0], our_losses[0]
+    assert abs(r1[0] - o1[0]) <= 1e-5 + 1e-4 * abs(r1[0]), (r1, o1)
+    for i, (r, o) in enumerate(zip(ref_losses, our_losses), start=1):
+        for name, rv, ov in zip(("p", "tv", "f"), r, o):
+            assert abs(rv - ov) <= 1e-3 + 0.03 * abs(rv), \
+                f"iter {i} loss {name}: ref {rv} vs ours {ov}"
+
+    # final parameters of the common (un-forked) prefix: the break above
+    # happens before either side updates, so both sit at `done` steps
+    ref_t_final = jp(stn.state_dict())
+    ref_ll_final = jp(ll.state_dict())
+    ref_ema_final = jp(t_ema.state_dict())
+    for name, ours, ref, lr in (("t", state["t"], ref_t_final, STN_LR),
+                                ("ll", state["ll"], ref_ll_final, LL_LR),
+                                ("t_ema", state["t_ema"], ref_ema_final,
+                                 STN_LR)):
+        for k in ref:
+            err = float(jnp.max(jnp.abs(ours[k] - ref[k])))
+            assert err <= 6 * max(done, 1) * lr, \
+                f"{name}.{k}: max abs err {err:.2e}"
+
+
 # ---------------------------------------------------------------------------
 # Cluster classifier (models/cluster_classifier.py:8-101)
 # ---------------------------------------------------------------------------
