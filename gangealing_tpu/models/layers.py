@@ -41,9 +41,11 @@ def pixel_norm(x, eps=1e-8):
 
 
 def conv2d(x, w, stride=1, padding=0, groups=1):
+    if isinstance(padding, int):
+        padding = (padding, padding)
     return lax.conv_general_dilated(
         x, w.astype(x.dtype), window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=(padding, padding),
         dimension_numbers=_DN, feature_group_count=groups)
 
 
@@ -110,17 +112,60 @@ def equal_conv2d_init(key, in_ch, out_ch, k, bias=True) -> Params:
 
 BLUR_KERNEL = (1, 3, 3, 1)
 
+# Fuse the downsampling ConvLayer's Blur into its conv (one composed-kernel
+# strided conv instead of FIR-then-conv; see compose_blur_into_weight).
+# MEASURED TO LOSE on TPU v5e (encoders 14.9->21.6ms / 15.9->20.6ms at the
+# flagship batch-128 shapes): the strided encoder convs are FLOP-bound at
+# ~60% MXU efficiency, so the composed 6x6 kernel's 4x FLOPs cost more
+# than the eliminated blur round trip saves. Kept (default OFF) as the
+# committed record of the experiment; enable via GANGEALING_FUSE_BLUR_CONV=1.
+_FUSE_BLUR_CONV = False
+
+
+def _fuse_blur_conv_enabled():
+    import os
+    env = os.environ.get("GANGEALING_FUSE_BLUR_CONV")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return _FUSE_BLUR_CONV
+
+
+def compose_blur_into_weight(w, blur_kernel=BLUR_KERNEL):
+    """Composed kernel F with conv(blur(x)) == conv'(x; F) (both linear):
+    each (kh, kw) filter is 2-D-convolved with the normalized FIR blur,
+    giving a (kh+kb-1, kw+kb-1) filter applied at the blur's padding."""
+    from gangealing_tpu.ops.resample import make_kernel
+    k2 = make_kernel(blur_kernel)
+    kb = k2.shape[0]
+    O, I, kh, kw = w.shape
+    x = w.reshape(O * I, 1, kh, kw)
+    # correlate with the flipped blur == true convolution of the kernels
+    ker = jnp.flip(k2, (0, 1))[None, None].astype(w.dtype)
+    F = lax.conv_general_dilated(
+        x, ker, window_strides=(1, 1),
+        padding=((kb - 1, kb - 1), (kb - 1, kb - 1)),
+        dimension_numbers=_DN)
+    return F.reshape(O, I, kh + kb - 1, kw + kb - 1)
+
 
 def conv_layer(params: Params, prefix: str, x, kernel_size, downsample=False,
                bias=True, activate=True, blur_kernel=BLUR_KERNEL):
     """Reference ConvLayer (networks.py:589-635): optional Blur + EqualConv2d
     + FusedLeakyReLU. Sequential indices in param names follow torch."""
     idx = 0
+    fuse_w = None
     if downsample:
         p = (len(blur_kernel) - 2) + (kernel_size - 1)
         pad0 = (p + 1) // 2
         pad1 = p // 2
-        if kernel_size == 1:
+        idx += 1  # Blur occupies Sequential slot 0 (buffer only)
+        if kernel_size > 1 and _fuse_blur_conv_enabled():
+            # composed-kernel strided conv replaces Blur + conv (see
+            # compose_blur_into_weight); the blur padding moves to the conv
+            def fuse_w(w):
+                return compose_blur_into_weight(w, blur_kernel)
+            stride, padding = 2, (pad0, pad1)
+        elif kernel_size == 1:
             # 1x1 stride-2 conv after a blur only reads the blur's even
             # pixels — fold the stride into the FIR (upfirdn2d down=2):
             # identical values at ~1/3 the depthwise work and half the
@@ -128,29 +173,27 @@ def conv_layer(params: Params, prefix: str, x, kernel_size, downsample=False,
             from gangealing_tpu.ops.resample import make_kernel, upfirdn2d
             x = upfirdn2d(x, make_kernel(blur_kernel), down=2,
                           pad=(pad0, pad1))
-            stride = 1
+            stride, padding = 1, 0
         else:
             x = blur(x, blur_kernel, pad=(pad0, pad1))
-            stride = 2
-        idx += 1  # Blur occupies Sequential slot 0 (buffer only)
-        padding = 0
+            stride, padding = 2, 0
     else:
         stride, padding = 1, kernel_size // 2
     conv_prefix = f"{prefix}.{idx}"
-    if activate and bias:
-        # conv has no own bias; FusedLeakyReLU holds it
-        w = params[f"{conv_prefix}.weight"]
-        O, I, kh, kw = w.shape
-        scale = 1.0 / math.sqrt(I * kh * kw)
-        out = conv2d(x, w * scale, stride=stride, padding=padding)
-        out = fused_leaky_relu(out, params[f"{prefix}.{idx + 1}.bias"])
-    elif activate:
-        out = equal_conv2d(params, conv_prefix, x, stride=stride,
-                           padding=padding)
-        out = fused_leaky_relu(out, None)
-    else:
-        out = equal_conv2d(params, conv_prefix, x, stride=stride,
-                           padding=padding)
+    w = params[f"{conv_prefix}.weight"]
+    O, I, kh, kw = w.shape
+    scale = 1.0 / math.sqrt(I * kh * kw)  # equalized lr: original fan-in
+    w = w * scale
+    if fuse_w is not None:
+        w = fuse_w(w)
+    out = conv2d(x, w, stride=stride, padding=padding)
+    b = params.get(f"{conv_prefix}.bias")  # present only when not activate
+    if b is not None:
+        out = out + b.reshape(1, O, 1, 1)
+    if activate:
+        # conv has no own bias; FusedLeakyReLU holds it (when bias=True)
+        out = fused_leaky_relu(
+            out, params[f"{prefix}.{idx + 1}.bias"] if bias else None)
     return out
 
 

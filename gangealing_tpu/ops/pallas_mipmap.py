@@ -36,6 +36,17 @@ chain rule into grid coordinates and mipmap levels flows through the
 amplitude construction in ops/mipmap.py (plain jax autodiff).
 
 Capability reference: antialiased_sampling.py:19-238 (MipmapWarp).
+
+Layout note (r4, measured): the (N, P, 16) coords operand costs a
+1.9ms/warp XLA relayout copy at the flagship batch-128 shape (its
+producer's natural layout is P-minor; pallas_call requires row-major).
+Two slot-major (N, 16, P) kernel rewrites were built and measured on a
+v5e chip: (a) fully transposed point-in-lanes math (sublane-contraction
+dot_generals), (b) an in-kernel (16, PB) block transpose feeding this
+kernel body unchanged. They ran 44ms and 49ms per warp vs 12.7ms for
+this version — Mosaic lowers sublane-contraction matmuls and
+sub-128-lane transposes poorly — so the copy stays as a characterized
+residual (see benchmarks/encoder_layout.py for the experiment record).
 """
 
 import functools
