@@ -91,6 +91,40 @@ def make_train_step(cfg: TrainConfig, g_params, perceptual_params,
     synthetic full-system demo plugs a fixed differentiable generator in
     here; g_params/cfg.g may then be None.
     """
+    step = _build_step(cfg, g_params, perceptual_params, perceptual_fn,
+                       pair_sampler)
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_train_scan(cfg: TrainConfig, g_params, perceptual_params,
+                    perceptual_fn: Callable, k: int, donate=True,
+                    pair_sampler=None):
+    """k train iterations fused into ONE jitted lax.scan call.
+
+    scan(state, zs, keys, psis, lr_ts, lr_lls) -> (state, metrics) where
+    every x has a leading (k,) axis and metrics are stacked per-step.
+    Identical math to k make_train_step calls on the same inputs; one
+    device dispatch instead of k amortizes per-call host/dispatch latency
+    at small per-chip batches (see benchmarks/batch5_decompose.py for the
+    measured batch-5 numbers). The reference runs one optimizer step per
+    loop iteration (train.py:89-135); this is the same schedule, batched
+    at the dispatch level only.
+    """
+    step = _build_step(cfg, g_params, perceptual_params, perceptual_fn,
+                       pair_sampler)
+
+    def scan_fn(state, zs, keys, psis, lr_ts, lr_lls):
+        def body(st, x):
+            return step(st, *x)
+        return jax.lax.scan(body, state, (zs, keys, psis, lr_ts, lr_lls))
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(scan_fn, donate_argnums=donate_argnums)
+
+
+def _build_step(cfg: TrainConfig, g_params, perceptual_params,
+                perceptual_fn: Callable, pair_sampler=None):
     opt = adam()
 
     def loss_fn(t_params, ll_params, z, key, psi):
@@ -142,5 +176,4 @@ def make_train_step(cfg: TrainConfig, g_params, perceptual_params,
         }
         return new_state, metrics
 
-    donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    return step

@@ -153,3 +153,41 @@ def test_lr_at_iter_and_cycles():
     cycles = lr_cycle_iters(100, 50, 1000, 2)
     assert cycles[0] == 99
     assert all(b > a for a, b in zip(cycles, cycles[1:]))
+
+
+def test_train_scan_matches_sequential_steps():
+    """k fused scan iterations == k sequential step calls (same inputs)."""
+    from gangealing_tpu.train.state import make_train_scan
+
+    cfg, state, step = _setup()
+    g_params = generator_init(jax.random.PRNGKey(0), G_CFG)
+    k = 3
+    zs = jax.random.normal(jax.random.PRNGKey(5), (k, 4, 32))
+    keys = jax.random.split(jax.random.PRNGKey(6), k)
+    psis = jnp.asarray([0.9, 0.5, 0.0])
+    lr_ts = jnp.asarray([1e-3, 5e-4, 1e-4])
+    lr_lls = jnp.asarray([1e-2, 5e-3, 1e-3])
+
+    seq_state = state
+    seq_metrics = []
+    for j in range(k):
+        seq_state, m = step(seq_state, zs[j], keys[j], psis[j],
+                            lr_ts[j], lr_lls[j])
+        seq_metrics.append(m)
+
+    scan = make_train_scan(cfg, g_params, None, _l2_perceptual, k,
+                           donate=False)
+    scan_state, stacked = scan(state, zs, keys, psis, lr_ts, lr_lls)
+
+    assert int(scan_state["step"]) == k
+    for j in range(k):
+        for mk in seq_metrics[j]:
+            np.testing.assert_allclose(float(stacked[mk][j]),
+                                       float(seq_metrics[j][mk]),
+                                       rtol=2e-5, atol=1e-6, err_msg=mk)
+    for part in ("t", "ll", "t_ema"):
+        for pk in seq_state[part]:
+            np.testing.assert_allclose(
+                np.asarray(scan_state[part][pk]),
+                np.asarray(seq_state[part][pk]), rtol=2e-4, atol=2e-6,
+                err_msg=f"{part}.{pk}")
