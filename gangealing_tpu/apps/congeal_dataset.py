@@ -69,9 +69,19 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
 
     ``mesh``: optional 1-D device mesh — each padded batch is sharded over
     the data axis (the reference strides images across ranks,
-    congeal_dataset.py:32; per-image accept/reject stays on host)."""
+    congeal_dataset.py:32; per-image accept/reject stays on host).
+
+    Multi-process runtime: each process aligns its stride of the dataset on
+    its local devices and writes its accepted PNGs under a per-process
+    filename prefix (the reference's chr(ord('a')+rank) scheme,
+    congeal_dataset.py:29-38 — the shared temp folder must be on a common
+    filesystem); used indices are all-gathered (all_gatherv,
+    distributed.py:103-122) and only the primary process builds the output
+    LMDB. Every process returns the full sorted index list."""
     from PIL import Image
-    from gangealing_tpu.parallel import replicate, round_up_batch, shard_batch
+    from gangealing_tpu.parallel import (
+        replicate, round_up_batch, shard_batch, process_stripe,
+        all_gatherv_hosts, host_barrier)
     temp_folder = f"{out}_imagefolder"
     os.makedirs(temp_folder, exist_ok=True)
     os.makedirs(out, exist_ok=True)
@@ -120,8 +130,14 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
     used_indices = []
     total = 0
     n = len(dataset)
-    for start in range(0, n, batch):
-        idxs = list(range(start, min(start + batch, n)))
+    # per-process filename prefix: every process writes its accepted PNGs
+    # into the shared temp folder without collisions (reference
+    # congeal_dataset.py:29-38)
+    prefix = chr(ord("a") + jax.process_index()) \
+        if jax.process_count() > 1 else ""
+    stripe = process_stripe(n)
+    for start in range(0, len(stripe), batch):
+        idxs = stripe[start:start + batch]
         x_in, x_big, bounds = [], [], []
         for i in idxs:
             img = dataset[i]
@@ -162,11 +178,15 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
             arr = np.clip((aligned[j] + 1) / 2, 0, 1)
             arr = (arr * 255 + 0.5).clip(0, 255).astype(np.uint8)
             Image.fromarray(arr.transpose(1, 2, 0)).save(
-                f"{temp_folder}/{total:07}.png")
+                f"{temp_folder}/{prefix}{total:07}.png")
             total += 1
-    create_dataset(out, temp_folder, size=output_resolution, format="png",
-                   pattern="*.png", progress=False)
-    used_indices = sorted(used_indices)
-    import torch
-    torch.save(torch.tensor(used_indices), f"{out}/dataset_indices.pt")
+    used_indices = sorted(all_gatherv_hosts(
+        np.asarray(used_indices, np.int64)).tolist())
+    host_barrier("congeal_dataset_pngs")  # all PNGs on disk before lmdb
+    if jax.process_index() == 0:
+        create_dataset(out, temp_folder, size=output_resolution,
+                       format="png", pattern="*.png", progress=False)
+        import torch
+        torch.save(torch.tensor(used_indices), f"{out}/dataset_indices.pt")
+    host_barrier("congeal_dataset_lmdb")  # lmdb complete before any reader
     return used_indices

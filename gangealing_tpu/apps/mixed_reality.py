@@ -20,6 +20,7 @@ Memory/UX modes (reference :213-216, :239-243, :258-262):
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +76,13 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
     de-interleaves after gather, mixed_reality.py:28-33; on a single
     controller results come back in order directly).
 
+    Multi-process runtime: each process renders its stride of the frames on
+    its local devices; array results are reassembled in global frame order
+    with an all-gather + de-interleave (the reference's reduction,
+    mixed_reality.py:28-33), save_frames mode writes global-indexed PNGs
+    from every process, and only the primary assembles/writes the videos
+    (after a host barrier).
+
     Returns dict with 'propagated' and 'congealed' (T, C, S, S) arrays
     (omitted when save_frames=True — frames go straight to disk); writes
     propagated.mp4 / congealed.mp4 (+ average.mp4 for clustering models with
@@ -114,10 +122,14 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
         inactive_averages = averages * _INACTIVE_ALPHA - (1 - _INACTIVE_ALPHA)
 
     from gangealing_tpu.parallel import (pad_batch, replicate,
-                                         round_up_batch, shard_batch)
+                                         round_up_batch, shard_batch,
+                                         process_stripe,
+                                         gather_process_stripes,
+                                         host_barrier)
     # Stride by the device-divisible batch so only the tail pads (full
     # steps otherwise waste duplicate rows every iteration).
     batch = round_up_batch(batch, mesh)
+    stripe = process_stripe(T)  # this process's frames (identity 1-proc)
     if mesh is not None:
         params = replicate(mesh, params)
         if cls_args.get("classifier_params") is not None:
@@ -125,16 +137,16 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
                 mesh, cls_args["classifier_params"])
 
     propagated, congealed, correspondences, average_frames = [], [], [], []
-    frame_index = 0
-    for s in range(0, T, batch):
+    for s in range(0, len(stripe), batch):
+        blk = stripe[s:s + batch]  # global frame indices of this batch
         if lazy_paths is not None:
             from gangealing_tpu.data.prepare import load_frame_paths
-            fb_np = load_frame_paths(lazy_paths[s:s + batch])
+            fb_np = load_frame_paths([lazy_paths[i] for i in blk])
             if fb_np.shape[-1] != fb_np.shape[-2]:
                 fb_np, _ = nchw_center_crop(fb_np)
             fb = jnp.asarray(fb_np)
         else:
-            fb = jnp.asarray(frames[s:s + batch])
+            fb = jnp.asarray(frames[blk])
         n = fb.shape[0]
         if mesh is not None:
             fb = pad_batch(fb, batch)  # pad the tail; outputs sliced to n
@@ -164,7 +176,7 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
             if save_frames:
                 for j in range(n):
                     _save_frame_png(out[j], os.path.join(
-                        out_dir, "frames", f"{frame_index + j}.png"))
+                        out_dir, "frames", f"{blk[j]}.png"))
             else:
                 propagated.append(np.asarray(out[:n]))
             if save_correspondences:
@@ -188,7 +200,7 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
         if save_frames:
             for j in range(n):
                 _save_frame_png(cong[j], os.path.join(
-                    out_dir, "congealing_frames", f"{frame_index + j}.png"))
+                    out_dir, "congealing_frames", f"{blk[j]}.png"))
         else:
             congealed.append(np.asarray(cong[:n]))
         if averages is not None:
@@ -201,15 +213,44 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
                     np.asarray(current), normalize=True, range=(-1, 1),
                     pad_value=-1.0,
                     nrow=max(1, int(np.ceil(cfg.num_heads ** 0.5)))))
-        frame_index += n
+
+    def _assemble(chunks, shape_tail, dtype=np.float32):
+        local = (np.concatenate(chunks, 0) if chunks
+                 else np.zeros((0,) + shape_tail, dtype))
+        return gather_process_stripes(local, T)
 
     result = {}
     if not save_frames:
-        result["congealed"] = np.concatenate(congealed, 0)
-        if propagated:
-            result["propagated"] = np.concatenate(propagated, 0)
-    if correspondences:
-        result["correspondences"] = np.concatenate(correspondences, 0)
+        # empty stripe (T < process count): every process must still join
+        # the gather with a shape-compatible (0, ...) array
+        if congealed:
+            S_out = congealed[0].shape[-1]
+        elif lazy_paths is None:
+            S_out = min(np.asarray(frames).shape[-2:])
+        else:
+            from gangealing_tpu.data.prepare import load_frame_paths
+            S_out = min(load_frame_paths(lazy_paths[:1]).shape[-2:])
+        result["congealed"] = _assemble(congealed, (3, S_out, S_out))
+        if objects and points is not None:
+            result["propagated"] = _assemble(
+                propagated, (3, S_out, S_out))
+    if save_correspondences and points is not None and objects:
+        result["correspondences"] = _assemble(
+            correspondences, (points.shape[-2], 2))
+    if averages is not None:
+        if average_frames:
+            local_af = np.stack(average_frames)
+        else:  # empty stripe (T < process count): still join the gather
+            probe = images2grid(
+                np.asarray(inactive_averages), normalize=True,
+                range=(-1, 1), pad_value=-1.0,
+                nrow=max(1, int(np.ceil(cfg.num_heads ** 0.5))))
+            local_af = np.zeros((0,) + probe.shape, probe.dtype)
+        average_frames = list(gather_process_stripes(local_af, T))
+    if out_dir is not None and save_frames:
+        host_barrier("mixed_reality_frames")  # all PNGs on disk first
+    if out_dir is not None and jax.process_index() != 0:
+        out_dir = None  # only the primary writes videos/files
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
         if save_frames:

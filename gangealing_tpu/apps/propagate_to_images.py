@@ -8,6 +8,7 @@ congealed-space RGBA edit back onto each input image.
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,7 +61,13 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
     (propagate_to_images.py make_visuals). output_resolution: size of the
     congealed outputs (default: input size). average_n: number of leading
     images averaged for 'average_congealed' (reference --n_mean); 0 skips
-    the average entirely (reference n_mean=-1 creates no average visual)."""
+    the average entirely (reference n_mean=-1 creates no average visual).
+
+    Multi-process runtime: each process congeals its stride of the images
+    on its local devices (the reference's DistributedSampler rank striding,
+    propagate_to_images.py:90-96); results are reassembled in global order
+    with an all-gather + de-interleave and only the primary process writes
+    files. Every process returns the full result arrays."""
     images = np.asarray(images)
     N, C, S, _ = images.shape
     out_res = output_resolution or S
@@ -74,10 +81,13 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
         cls_args = dict(classifier_params=classifier[0],
                         classifier_cfg=classifier[1], cluster=cluster)
     from gangealing_tpu.parallel import (pad_batch, replicate,
-                                         round_up_batch, shard_batch)
+                                         round_up_batch, shard_batch,
+                                         process_stripe,
+                                         gather_process_stripes)
     # Stride by the device-divisible batch so only the tail pads (full
     # steps otherwise waste duplicate rows every iteration).
     batch = round_up_batch(batch, mesh)
+    stripe = process_stripe(N)  # this process's images (identity 1-proc)
     if mesh is not None:
         # DP inference over the data axis (the reference rank-shards the
         # dataset via its distributed loader, propagate_to_images.py:90-96)
@@ -86,8 +96,8 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
             cls_args["classifier_params"] = replicate(
                 mesh, cls_args["classifier_params"])
     congealed, propagated = [], []
-    for s in range(0, N, batch):
-        xb = jnp.asarray(images[s:s + batch])
+    for s in range(0, len(stripe), batch):
+        xb = jnp.asarray(images[stripe[s:s + batch]])
         n = xb.shape[0]
         if mesh is not None:
             xb = pad_batch(xb, batch)  # pad the tail; outputs sliced to n
@@ -118,15 +128,20 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
                                alpha_channel=jnp.tile(alphas, (m, 1, 1)),
                                blend_alg=blend_alg)
             propagated.append(np.asarray(out[:n]))
-    result = {"congealed": np.concatenate(congealed, 0)}
+    def _assemble(chunks, shape_tail):
+        local = (np.concatenate(chunks, 0) if chunks
+                 else np.zeros((0,) + shape_tail, np.float32))
+        return gather_process_stripes(local, N)
+
+    result = {"congealed": _assemble(congealed, (C, out_res, out_res))}
     if average_n is None or average_n > 0:
         avg_src = result["congealed"]
         if average_n is not None:
             avg_src = avg_src[:average_n]
         result["average_congealed"] = avg_src.mean(axis=0, keepdims=True)
-    if propagated:
-        result["propagated"] = np.concatenate(propagated, 0)
-    if out_dir is not None:
+    if points is not None:
+        result["propagated"] = _assemble(propagated, (C, S, S))
+    if out_dir is not None and jax.process_index() == 0:
         os.makedirs(out_dir, exist_ok=True)
         save_image(result["congealed"], os.path.join(out_dir, "congealed.png"),
                    normalize=True, range=(-1, 1))

@@ -96,15 +96,19 @@ def average_image_video(params, cfg: ComposedSTNConfig, images,
     ``mesh``: optional 1-D device mesh — each warp batch is sharded over
     the data axis and reduced on device, the TPU equivalent of the
     reference's per-rank ``n_mean // world_size`` shards + all_gather mean
-    (vis_correspondence.py:338-379)."""
+    (vis_correspondence.py:338-379). Multi-process runtime: each process
+    sums its stride of the images and the per-frame partial sums are
+    reduced across hosts (same reference reduction)."""
     import jax
     from gangealing_tpu.parallel import (pad_batch, replicate,
-                                         round_up_batch, shard_batch)
+                                         round_up_batch, shard_batch,
+                                         process_stripe, all_gather_hosts)
     images = np.asarray(images)
     N, C, S, _ = images.shape
     batch = round_up_batch(batch, mesh)
     if mesh is not None:
         params = replicate(mesh, params)
+    stripe = process_stripe(N)  # this process's images (identity 1-proc)
 
     @jax.jit
     def batch_sum(params, xb, a, w):
@@ -117,14 +121,17 @@ def average_image_video(params, cfg: ComposedSTNConfig, images,
     frames = []
     for a in interpolation_alphas(num_frames):
         acc = np.zeros((C, S, S), np.float32)
-        for s in range(0, N, batch):
-            n = min(batch, N - s)
-            xb = pad_batch(jnp.asarray(images[s:s + n]), batch)
+        for s in range(0, len(stripe), batch):
+            idxs = stripe[s:s + batch]
+            n = len(idxs)
+            xb = pad_batch(jnp.asarray(images[idxs]), batch)
             w = (jnp.arange(batch) < n).astype(jnp.float32)
             if mesh is not None:
                 xb = shard_batch(mesh, xb)
                 w = shard_batch(mesh, w)
             acc += np.asarray(batch_sum(params, xb, jnp.float32(a), w))
+        if jax.process_count() > 1:  # cross-host sum of the partial sums
+            acc = np.asarray(all_gather_hosts(acc)).sum(axis=0)
         mean = (acc / N)[None]
         frames.append(images2grid(mean, nrow=1, normalize=True))
     if out_path is not None:
@@ -140,24 +147,34 @@ def bucket_real_images_by_cluster(classifier_params, classifier_cfg, images,
     ``mesh``: optional 1-D device mesh — classifier batches are sharded
     over the data axis (the reference buckets per-rank shards and
     all_gathervs the indices, vis_correspondence.py:310-327; here results
-    come back in dataset order so no gather/de-interleave is needed)."""
+    come back in dataset order so no gather/de-interleave is needed).
+    Multi-process runtime: each process classifies its stride of the
+    images; assignments are reassembled in global order with an
+    all-gather + de-interleave (the reference's reduction)."""
     from gangealing_tpu.models.classifier import classifier_assign
     from gangealing_tpu.parallel import (pad_batch, replicate,
-                                         round_up_batch, shard_batch)
+                                         round_up_batch, shard_batch,
+                                         process_stripe,
+                                         gather_process_stripes)
     images = np.asarray(images)
+    N = images.shape[0]
     batch = round_up_batch(batch, mesh)
     if mesh is not None:
         classifier_params = replicate(mesh, classifier_params)
+    stripe = process_stripe(N)
     assignments = []
-    for s in range(0, images.shape[0], batch):
-        n = min(batch, images.shape[0] - s)
-        xb = pad_batch(jnp.asarray(images[s:s + n]), batch)
+    for s in range(0, len(stripe), batch):
+        idxs = stripe[s:s + batch]
+        n = len(idxs)
+        xb = pad_batch(jnp.asarray(images[idxs]), batch)
         if mesh is not None:
             xb = shard_batch(mesh, xb)
         a = classifier_assign(classifier_params, classifier_cfg, xb,
                               ignore_flips=True)
         assignments.append(np.asarray(a)[:n])
-    assignments = np.concatenate(assignments)
+    local = (np.concatenate(assignments) if assignments
+             else np.zeros((0,), np.int64))
+    assignments = gather_process_stripes(local, N)
     return [np.where(assignments == k)[0] for k in range(num_heads)]
 
 

@@ -47,6 +47,20 @@ def main():
                              "flow-score filtering")
     args = parser.parse_args()
 
+    import jax
+    if jax.process_count() > 1 and args.mode != "average" \
+            and jax.process_index() != 0:
+        # The smooth-video modes are single-controller by design (the
+        # reference runs them "fast on a single GPU",
+        # vis_correspondence.py:489): secondary processes idle instead of
+        # duplicating the render and racing on the output files. The
+        # "average" mode IS distributed (cross-host partial-sum reduction
+        # in apps/vis_correspondence.py average_image_video), so every
+        # process participates there.
+        print(f"vis_correspondence --mode {args.mode} renders on the "
+              f"primary process only; process {jax.process_index()} idles")
+        return
+
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps import vis_correspondence as vc
     from gangealing_tpu.apps.flow_scores import filter_dataset

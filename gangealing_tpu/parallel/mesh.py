@@ -77,6 +77,41 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     return jax.tree.map(put, batch)
 
 
+def shard_global_batch(mesh: Mesh, batch, axis: int = 0,
+                       axis_name: str = "data"):
+    """Place a GLOBAL batch (identical on every process) onto the mesh,
+    sharded along ``axis``. On a single controller this is a plain
+    device_put; when the mesh spans processes, each process's contiguous
+    block along ``axis`` is sliced out automatically and the global array
+    assembled from the per-process blocks (the layout shard_batch expects
+    — a 1-D mesh over jax.devices() lists process 0's chips first, so
+    process p owns rows [p*n/P, (p+1)*n/P)).
+
+    This is the drop-in for the train loops, where every process draws the
+    same global latent batch from a shared PRNG key (the reference seeds
+    ranks identically then DistributedSampler-slices, train.py:255-259)."""
+    multi = _spans_other_processes(mesh)
+    n_proc, pid = jax.process_count(), jax.process_index()
+
+    def put(x):
+        spec = [None] * np.ndim(x)
+        spec[axis] = axis_name
+        sh = NamedSharding(mesh, P(*spec))
+        if multi:
+            n = x.shape[axis]
+            if n % n_proc:
+                raise ValueError(
+                    f"global batch axis {axis} ({n}) must divide the "
+                    f"process count ({n_proc})")
+            b = n // n_proc
+            idx = [slice(None)] * np.ndim(x)
+            idx[axis] = slice(pid * b, (pid + 1) * b)
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x)[tuple(idx)])
+        return jax.device_put(x, sh)
+    return jax.tree.map(put, batch)
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a (host-identical) pytree over the whole mesh. Mesh
     spanning other processes: every process must pass the same values; the
@@ -91,6 +126,38 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def process_stripe(n: int):
+    """This process's stride of ``n`` items: indices [p, p+P, p+2P, ...] —
+    the reference's DistributedSampler / torch.arange(rank, N, world) rank
+    striding (congeal_dataset.py:32, mixed_reality.py:28-33). Identity
+    (range(n)) on a single process."""
+    return list(range(jax.process_index(), n, jax.process_count()))
+
+
+def gather_process_stripes(x, n_total: int):
+    """Inverse of process_stripe for per-item results: gather each
+    process's stripe outputs and de-interleave back to global item order —
+    the reference's all_gather(...).permute(1, 0).reshape(-1)[:N] reduction
+    (utils/distributed.py:87-122 via flow_scores.py:39-42). ``x`` is this
+    process's (len(stripe), ...) results; stripes are padded to equal
+    length by repeating the last row (padding lands past ``n_total`` after
+    de-interleaving, so it is trimmed). Identity on a single process."""
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return np.asarray(x)[:n_total]
+    x = np.asarray(x)
+    m = (n_total + n_proc - 1) // n_proc
+    if x.shape[0] < m:  # short stripe (n_total % n_proc != 0): pad
+        reps = np.repeat(x[-1:] if x.shape[0] else
+                         np.zeros((1,) + x.shape[1:], x.dtype),
+                         m - x.shape[0], axis=0)
+        x = np.concatenate([x, reps], axis=0)
+    g = np.asarray(all_gather_hosts(x))  # (P, m, ...)
+    out = g.transpose(1, 0, *range(2, g.ndim)).reshape(
+        (n_proc * m,) + g.shape[2:])
+    return out[:n_total]
+
+
 def all_gather_hosts(x):
     """Gather a per-host array across processes (multi-host DCN path);
     identity on a single controller. Replaces utils/distributed.py:87-122."""
@@ -98,6 +165,34 @@ def all_gather_hosts(x):
         return x
     from jax.experimental import multihost_utils
     return multihost_utils.process_allgather(x)
+
+
+def all_gatherv_hosts(x):
+    """Variable-length cross-process gather: concatenate per-process 1-D
+    arrays of DIFFERENT lengths in process order (the reference's
+    all_gatherv, utils/distributed.py:103-122: gather lengths, pad to the
+    max, gather, trim). Identity on a single controller."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    lens = np.asarray(all_gather_hosts(
+        np.asarray([x.shape[0]], np.int64))).reshape(-1)
+    m = int(lens.max())
+    padded = np.zeros((m,) + x.shape[1:], x.dtype)
+    padded[:x.shape[0]] = x
+    g = np.asarray(all_gather_hosts(padded))  # (P, m, ...)
+    return np.concatenate([g[p, :lens[p]] for p in range(g.shape[0])], 0)
+
+
+def host_barrier(name: str = "barrier"):
+    """Block until every process reaches this point (the reference's
+    synchronize(), utils/distributed.py:40-49) — e.g. before the primary
+    process assembles outputs other processes wrote to a shared
+    filesystem. No-op on a single controller."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
 
 
 def auto_mesh(num_devices: Optional[int] = None,

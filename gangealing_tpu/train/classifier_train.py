@@ -15,7 +15,7 @@ import optax
 
 from gangealing_tpu.models.classifier import (
     ClassifierConfig, classifier_forward, reverse_topk_accuracy)
-from gangealing_tpu.parallel import make_mesh, shard_batch, replicate
+from gangealing_tpu.parallel import make_mesh, shard_global_batch, replicate
 from gangealing_tpu.train.losses import assign_fake_images_to_clusters
 from gangealing_tpu.train.state import TrainConfig, adam
 from gangealing_tpu.train.annealing import lr_used_at_iter
@@ -91,13 +91,32 @@ def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
     fake-image batch is sharded over a 1-D data mesh with all frozen params
     and the classifier replicated — the TPU equivalent of the reference's
     DDP wrap (train_cluster_classifier.py:204-207): XLA inserts the
-    gradient psums over ICI inside the jitted step."""
-    # shard over the largest device count that divides the batch (a sharded
-    # batch needs equal per-device shards; padding would change the loss
-    # mean, so small batches just use fewer chips)
-    n_dev = jax.device_count()
-    while n_dev > 1 and cfg.batch % n_dev:
-        n_dev -= 1
+    gradient psums over ICI inside the jitted step. Multi-process runtime:
+    every process draws the identical global z (same PRNG key) and
+    shard_global_batch slices out its contiguous block — the same global
+    step as the single-controller run, like the train loop
+    (tests/test_multiprocess.py exercises the layout)."""
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # a process-spanning mesh must cover all devices (dropping chips
+        # would orphan whole processes); the global batch must divide it
+        n_dev = jax.device_count()
+        if not use_mesh:
+            raise ValueError("use_mesh=False is a single-controller debug "
+                             "mode; it cannot run under a multi-process "
+                             "runtime (every process would train its own "
+                             "full-batch classifier)")
+        if cfg.batch % n_dev:
+            raise ValueError(
+                f"global batch ({cfg.batch}) must divide the device count "
+                f"({n_dev}) under a multi-process runtime")
+    else:
+        # shard over the largest device count that divides the batch (a
+        # sharded batch needs equal per-device shards; padding would change
+        # the loss mean, so small batches just use fewer chips)
+        n_dev = jax.device_count()
+        while n_dev > 1 and cfg.batch % n_dev:
+            n_dev -= 1
     mesh = make_mesh(n_dev) if use_mesh and n_dev > 1 else None
     if mesh is not None:
         g_params, t_params, ll_params, cls_params = (
@@ -125,7 +144,7 @@ def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
         kz = jax.random.split(step_key, 3)[0]
         z = jax.random.normal(kz, (cfg.batch, cfg.g.style_dim))
         if mesh is not None:
-            z = shard_batch(mesh, z)
+            z = shard_global_batch(mesh, z)
         cls_params, opt_state, metrics = step(
             cls_params, opt_state, step_key, jnp.float32(lr), z)
         if (i % log_every == 0 or i == 1):

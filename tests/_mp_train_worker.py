@@ -19,7 +19,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
-_NDEV = "4" if sys.argv[1] in ("single", "flow_single") else "2"
+_NDEV = "4" if sys.argv[1] in ("single", "flow_single", "prop_single") \
+    else "2"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count="
                            + _NDEV)
@@ -62,10 +63,50 @@ def flow_main():
     print("SCORES " + ",".join(f"{s:.8f}" for s in scores), flush=True)
 
 
+def prop_main():
+    """propagate_to_images across processes: each process congeals its
+    stride of 7 images (short second stripe + padded tail batch) and the
+    results are reassembled in global order via gather_process_stripes —
+    the newly wired multi-process app path (reference
+    propagate_to_images.py:90-96 DistributedSampler striding)."""
+    import numpy as np
+
+    mode = sys.argv[1]
+    if mode == "prop":
+        pid, port = int(sys.argv[2]), sys.argv[3]
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=2, process_id=pid)
+        assert jax.process_count() == 2
+
+    from gangealing_tpu.apps.propagate_to_images import propagate_to_images
+    from gangealing_tpu.models.stn import (
+        ComposedSTNConfig, composed_stn_init)
+    from gangealing_tpu.parallel import auto_mesh
+
+    cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=64,
+                            supersize=64, channel_multiplier=0.25,
+                            flow_downsample=4, max_channels=32)
+    params = composed_stn_init(jax.random.PRNGKey(0), cfg)
+    k = "stns.1.warp_head.flow_out.2.weight"
+    params[k] = 0.05 * jax.random.normal(jax.random.PRNGKey(7),
+                                         params[k].shape)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(7, 3, 64, 64).astype(np.float32) * 2 - 1
+    res = propagate_to_images(params, cfg, imgs, batch=3, mesh=auto_mesh(),
+                              no_flip_inference=True, average_n=4)
+    per_img = res["congealed"].reshape(7, -1).mean(axis=1)
+    avg = float(res["average_congealed"].mean())
+    print("PROP " + ",".join(f"{v:.8f}" for v in per_img)
+          + f" AVG {avg:.8f}", flush=True)
+
+
 def main():
     mode = sys.argv[1]
     if mode in ("flow", "flow_single"):
         return flow_main()
+    if mode in ("prop", "prop_single"):
+        return prop_main()
     if mode == "multi":
         pid, port = int(sys.argv[2]), sys.argv[3]
         jax.distributed.initialize(
@@ -85,7 +126,8 @@ def main():
     from gangealing_tpu.train.state import (
         TrainConfig, init_train_state, make_train_step)
     from gangealing_tpu.parallel import (
-        make_mesh, shard_batch, replicate, all_gather_hosts)
+        make_mesh, shard_batch, shard_global_batch, replicate,
+        all_gather_hosts)
 
     g_cfg = GeneratorConfig(size=64, style_dim=32, n_mlp=2,
                             channel_multiplier=1, max_channels=32)
@@ -119,6 +161,21 @@ def main():
     if mode == "multi":
         pid = jax.process_index()
         z = shard_batch(mesh, z_global[2 * pid:2 * pid + 2])
+        # shard_global_batch (what train/loop.py + classifier_train feed a
+        # process-spanning mesh): every process passes the FULL global
+        # batch and its contiguous block is sliced out automatically —
+        # must produce the same local shards as the manual slicing above,
+        # for the plain batch axis and for the scan layout (axis=1)
+        zg = shard_global_batch(mesh, z_global)
+        for a, b in zip(z.addressable_shards, zg.addressable_shards):
+            assert a.index == b.index
+            np.testing.assert_array_equal(np.asarray(a.data),
+                                          np.asarray(b.data))
+        zs_global = np.stack([z_global, z_global + 1.0])  # (k=2, 4, D)
+        zs = shard_global_batch(mesh, zs_global, axis=1)
+        for sh in zs.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(sh.data),
+                                          zs_global[sh.index])
     else:
         z = shard_batch(mesh, z_global)
 

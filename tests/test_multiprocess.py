@@ -97,6 +97,44 @@ def test_two_process_flow_scores_match_single_controller(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_propagate_matches_single_controller():
+    """Newly wired multi-process APP path (round-4 verdict #3): each
+    process congeals its stride of 7 images (uneven stripes: 4 vs 3, plus
+    a padded tail batch) and propagate_to_images reassembles global order
+    via gather_process_stripes. Per-image congealed means and the
+    average-congealed mean must match the single-controller run."""
+    import numpy as np
+
+    def parse(out):
+        m = re.search(r"PROP ([-\d.,e]+) AVG ([-\d.e]+)", out)
+        assert m, f"no PROP line in output:\n{out}"
+        return (np.asarray([float(x) for x in m.group(1).split(",")]),
+                float(m.group(2)))
+
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), "prop", str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(WORKER.parent.parent)) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    c0, a0 = parse(outs[0][0])
+    c1, a1 = parse(outs[1][0])
+    # every process returns the full gathered result
+    np.testing.assert_allclose(c0, c1, atol=1e-7)
+    assert a0 == pytest.approx(a1, abs=1e-7)
+
+    single = _run(["prop_single"])
+    assert single.returncode == 0, (
+        f"single failed:\n{single.stdout}\n{single.stderr[-3000:]}")
+    cs, as_ = parse(single.stdout)
+    assert cs.shape == c0.shape == (7,)
+    np.testing.assert_allclose(c0, cs, rtol=2e-5, atol=1e-6)
+    assert a0 == pytest.approx(as_, rel=2e-5, abs=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_train_step_matches_single_controller():
     port = str(_free_port())
     p0 = subprocess.Popen(
