@@ -38,7 +38,12 @@ def _flops_of(compiled):
         return None
 
 
-def _time_compiled(compiled, *args, reps=8, donated_idx=None):
+def _time_compiled(compiled, *args, reps=8, donated_idx=None,
+                   donated_out=0):
+    """Time a compiled executable. ``donated_idx``: input arg donated to the
+    executable; it is refreshed each rep with output leaf ``donated_out``
+    (the step/scan fns return (state, metrics), so the new state is
+    out[0] — NOT the whole output tuple)."""
     out = compiled(*args)
     jax.block_until_ready(out)
     leaf = jax.tree.leaves(out)[0]
@@ -46,7 +51,7 @@ def _time_compiled(compiled, *args, reps=8, donated_idx=None):
     ts = []
     for _ in range(reps):
         if donated_idx is not None:
-            args = tuple(out if i == donated_idx else a
+            args = tuple(out[donated_out] if i == donated_idx else a
                          for i, a in enumerate(args))
         t0 = time.time()
         out = compiled(*args)
@@ -65,6 +70,7 @@ def report(name, dt, flops, batch, steps=1):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     scan_k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    compute_dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
 
     g_cfg = GeneratorConfig(size=256)
     t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"),
@@ -77,8 +83,11 @@ def main():
     ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
     vgg_params = vgg16_init(jax.random.PRNGKey(3))
 
+    pdtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
     def perceptual_fn(p, x, y):
-        return lpips_distance(p, x, y, use_lins=False) / 18.0
+        return lpips_distance(p, x, y, use_lins=False,
+                              compute_dtype=pdtype) / 18.0
 
     for B in sorted({batch, 40}):
         print(f"batch {B}:", flush=True)
@@ -117,8 +126,12 @@ def main():
 
         cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=B,
                           tv_weight=1000.0, flow_identity_weight=1.0,
-                          anneal_psi=100, period=50, loss_fn="vgg_ssl")
-        state = init_train_state(t_params, ll_params)
+                          anneal_psi=100, period=50, loss_fn="vgg_ssl",
+                          compute_dtype=compute_dtype)
+        # copy: the donated step consumes the state's buffers, and
+        # init_train_state aliases t_params/ll_params (needed again at B=40)
+        state = init_train_state(jax.tree.map(jnp.copy, t_params),
+                                 jax.tree.map(jnp.copy, ll_params))
         step = make_train_step(cfg, g_params, vgg_params, perceptual_fn,
                                donate=True)
         lr = jnp.float32(1e-3)
@@ -137,10 +150,13 @@ def main():
         psis = jnp.full((scan_k,), 0.9)
         lrs = jnp.full((scan_k,), 1e-3)
         compiled = scan.lower(state, zs, keys, psis, lrs, lrs).compile()
+        # XLA cost analysis counts a while/scan BODY once, not x trip count
+        # (measured: the scan executable reports ~1/k of the true flops), so
+        # the honest scan flop count is k single-step executables' worth.
+        scan_flops = step_flops * scan_k if step_flops else None
         dt, _ = _time_compiled(compiled, state, zs, keys, psis, lrs, lrs,
                                donated_idx=0)
-        report(f"scan x{scan_k} (per step)", dt,
-               step_flops * scan_k if step_flops else None, B, steps=scan_k)
+        report(f"scan x{scan_k} (per step)", dt, scan_flops, B, steps=scan_k)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,13 @@ def base_training_argparse():
     p.add_argument("--decay", default=0.9, type=float)
     p.add_argument("--tm", default=2, type=int)
     # TPU specifics:
+    p.add_argument("--scan_k", type=int, default=0,
+                   help="fuse this many optimizer steps into one device "
+                        "dispatch with lax.scan (identical math/schedule; "
+                        "log cadence unchanged, ckpt/vis points round to "
+                        "block ends). 0 = auto: 8 when the per-chip batch "
+                        "is < 16 (dispatch-bound regime, see "
+                        "benchmarks/batch5_decompose.py), else 1")
     p.add_argument("--perceptual_weights", type=str, default=None,
                    help="optional torch state_dict with VGG16 weights")
     p.add_argument("--compute_dtype", type=str, default="float32",

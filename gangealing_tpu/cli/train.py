@@ -99,6 +99,13 @@ def main():
             args.load_G_only = False
 
     cfg = build_configs(args)
+    # --scan_k 0 = auto: small per-chip batches are dispatch-bound (the
+    # reference's flagship per-GPU batch is 5, README.md:276-277), so fuse
+    # 8 steps per dispatch there; large batches gain nothing from fusion.
+    scan_k = args.scan_k if args.scan_k > 0 else (8 if args.batch < 16 else 1)
+    if scan_k > 1:
+        print(f"scan_k={scan_k}: fusing {scan_k} optimizer steps per device "
+              "dispatch (lax.scan)")
     key = jax.random.PRNGKey(args.seed)
     k_g, k_t, k_ll, k_p, k_init = jax.random.split(key, 5)
 
@@ -137,10 +144,12 @@ def main():
         start_iter = parse_start_iter(ckpt_path)
     else:
         print("Only G_EMA loaded; running PCA/kmeans++ cold start")
+        from gangealing_tpu.parallel import auto_mesh
         ll_params = cold_start_ll(
             ll_params, g_params, cfg, k_init,
             perceptual_fn=perceptual_fn,
-            perceptual_params=perceptual_params, debug=args.debug)
+            perceptual_params=perceptual_params, debug=args.debug,
+            mesh=auto_mesh())
 
     real_loader = None
     sample_reals = None
@@ -164,7 +173,7 @@ def main():
                      log_every=args.log_every, ckpt_every=args.ckpt_every,
                      vis_every=args.vis_every, profile_dir=args.profile_dir,
                      profile_start=args.profile_start,
-                     profile_stop=args.profile_stop)
+                     profile_stop=args.profile_stop, scan_k=scan_k)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,9 @@ BLUR_KERNEL = (1, 3, 3, 1)
 # ~60% MXU efficiency, so the composed 6x6 kernel's 4x FLOPs cost more
 # than the eliminated blur round trip saves. Kept (default OFF) as the
 # committed record of the experiment; enable via GANGEALING_FUSE_BLUR_CONV=1.
+# The flag is read at TRACE time: set it before the first jitted call (the
+# jit cache is keyed on shapes only, so flipping it later keeps the traced
+# path — clear caches or restart the process to switch).
 _FUSE_BLUR_CONV = False
 
 
@@ -126,7 +129,7 @@ def _fuse_blur_conv_enabled():
     import os
     env = os.environ.get("GANGEALING_FUSE_BLUR_CONV")
     if env is not None:
-        return env not in ("0", "false", "False")
+        return env.lower() not in ("0", "false", "no", "")
     return _FUSE_BLUR_CONV
 
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gangealing_tpu.train.state import (
-    TrainConfig, init_train_state, make_train_step)
+    TrainConfig, init_train_state, make_train_step, make_train_scan)
 from gangealing_tpu.train.annealing import (
     psi_at_iter, lr_used_at_iter, lr_cycle_iters)
 from gangealing_tpu.train.checkpoint import save_native, export_torch
@@ -30,21 +30,42 @@ from gangealing_tpu.train.visuals import (
 from gangealing_tpu.models.latent_learner import (
     PCA, assign_pca_buffers, assign_coefficients)
 from gangealing_tpu.models.stylegan2 import batch_latent
-from gangealing_tpu.parallel import make_mesh, shard_batch, replicated_sharding
+from gangealing_tpu.parallel import (
+    make_mesh, shard_global_batch, replicated_sharding)
 
 
 def cold_start_ll(ll_params, g_params, cfg: TrainConfig, key,
                   perceptual_fn=None, perceptual_params=None, debug=False,
-                  kmeans_latents=50000):
+                  kmeans_latents=50000, mesh=None):
     """PCA(+kmeans++) initialization of the latent learner
-    (train.py:228-243)."""
+    (train.py:228-243).
+
+    ``mesh``: optional 1-D device mesh — the 1M-latent PCA pool generation
+    and the kmeans++ generator/perceptual passes are sharded over the data
+    axis (the reference shards the pool across ranks, train.py:231-233, and
+    distributes kmeans++, latent_learner.py:85-123). Every per-latent
+    computation is row-independent, so the meshed cold start equals the
+    single-device one. The PCA fit itself stays host-side (sklearn over the
+    gathered (n, 512) pool — cheap next to generating it)."""
+    from gangealing_tpu.parallel import replicate, shard_batch
+    from gangealing_tpu.models.stylegan2 import mapping
+
     n_pca = 1000 if debug else 1000000
-    ws = []
     chunk = 10000
+    if mesh is not None:
+        g_params_m = replicate(mesh, g_params)
+        map_fn = jax.jit(lambda p, z: mapping(p, cfg.g, z))
+    ws = []
     for i in range(0, n_pca, chunk):
         kk = jax.random.fold_in(key, i)
-        ws.append(np.asarray(batch_latent(g_params, cfg.g, kk,
-                                          min(chunk, n_pca - i))))
+        n = min(chunk, n_pca - i)
+        if mesh is not None and n % mesh.devices.size == 0:
+            # same z draw as batch_latent (stylegan2.py batch_latent),
+            # sharded over the mesh before the mapping network
+            z = jax.random.normal(kk, (n, cfg.g.style_dim))
+            ws.append(np.asarray(map_fn(g_params_m, shard_batch(mesh, z))))
+        else:
+            ws.append(np.asarray(batch_latent(g_params, cfg.g, kk, n)))
     ws = np.concatenate(ws)
     pca = PCA(cfg.ll.n_comps, ws)
     ll_params = assign_pca_buffers(ll_params, pca)
@@ -56,7 +77,8 @@ def cold_start_ll(ll_params, g_params, cfg: TrainConfig, key,
             pfn = lambda x, y: perceptual_fn(perceptual_params, x, y)
             centroids = kmeans_plusplus(
                 g_params, cfg.g, pfn, cfg.t.num_heads, kmeans_latents,
-                jax.random.fold_in(key, 999), inject_index=cfg.ll.inject_index)
+                jax.random.fold_in(key, 999),
+                inject_index=cfg.ll.inject_index, mesh=mesh)
         ll_params = assign_coefficients(ll_params, pca.encode(centroids))
     return ll_params
 
@@ -70,8 +92,20 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
                      ckpt_every: int = 50000, vis_every: int = 5000,
                      use_mesh: bool = True, export_torch_ckpts: bool = True,
                      progress: bool = True, profile_dir: str = None,
-                     profile_start: int = 0, profile_stop: int = 0):
+                     profile_start: int = 0, profile_stop: int = 0,
+                     scan_k: int = 1):
     """Run the training loop for cfg.iter iterations. Returns final state.
+
+    ``scan_k``: fuse this many optimizer steps into ONE device dispatch via
+    lax.scan (train/state.py make_train_scan) — identical math and schedule
+    to single steps (per-iteration psi/lr/z are precomputed host-side and
+    stacked), but one host round trip per k steps. This is the dispatch
+    amortization that matters at tiny per-chip batches (the reference's
+    per-GPU batch 5, README.md:276-277): see benchmarks/batch5_decompose.py
+    for measured numbers. Log/ckpt/vis cadence is unchanged (per-step
+    metrics come back stacked); the profiler window and checkpoint/visual
+    POINTS round up to scan-block boundaries. A tail of cfg.iter % scan_k
+    iterations runs as single steps.
 
     ``profile_dir``: capture a jax.profiler trace (TensorBoard/Perfetto)
     of iterations (profile_start, profile_stop] — a TPU-native
@@ -98,7 +132,10 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
 
     mesh = make_mesh() if use_mesh and jax.device_count() > 1 else None
 
-    state = resume_state if resume_state is not None \
+    # copy resume_state: the donated step would otherwise delete the
+    # caller's buffers (init_train_state copies its own inputs already)
+    state = jax.tree.map(jnp.copy, resume_state) \
+        if resume_state is not None \
         else init_train_state(t_params, ll_params)
     if mesh is not None:
         rep = replicated_sharding(mesh)
@@ -155,50 +192,87 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
     if vis_every > 0:
         maybe_vis(start_iter, 1.0 if cfg.anneal_psi > 0 else 0.0)
 
+    scan_k = max(1, int(scan_k))
+    scan_fn = make_train_scan(cfg, g_params, perceptual_params,
+                              perceptual_fn, scan_k) if scan_k > 1 else None
+
     profiling = False
     trace_first = None
     t0 = time.time()
-    for idx in range(cfg.iter - start_iter):
-        i = idx + start_iter + 1
-        if profile_dir and idx == profile_start and not profiling:
+    n_total = cfg.iter - start_iter
+    idx = 0
+    while idx < n_total:
+        blk = scan_k if (scan_k > 1 and idx + scan_k <= n_total) else 1
+        iters_blk = [idx + start_iter + 1 + j for j in range(blk)]
+        if profile_dir and idx >= profile_start and not profiling \
+                and idx < profile_stop:
             jax.block_until_ready(state)  # trace starts on a step boundary
             jax.profiler.start_trace(profile_dir)
-            profiling, trace_first = True, i
-        psi = psi_at_iter(i, cfg.anneal_psi, cfg.anneal_fn)
-        lr_t = lr_used_at_iter(i, cfg.stn_lr, cfg.anneal_psi, cfg.period,
-                               cfg.tm, cfg.decay)
-        lr_ll = lr_used_at_iter(i, cfg.ll_lr, cfg.anneal_psi, cfg.period,
-                                cfg.tm, cfg.decay)
-        zk = jax.random.fold_in(z_key, i)
-        z = jax.random.normal(zk, (cfg.batch, cfg.g.style_dim))
-        if mesh is not None:
-            z = shard_batch(mesh, z)
-        state, metrics = step_fn(state, z, jax.random.fold_in(zk, 1),
-                                 jnp.float32(psi), jnp.float32(lr_t),
-                                 jnp.float32(lr_ll))
-        if profiling and idx + 1 >= profile_stop:
+            profiling, trace_first = True, iters_blk[0]
+        psis = [psi_at_iter(i, cfg.anneal_psi, cfg.anneal_fn)
+                for i in iters_blk]
+        lr_ts = [lr_used_at_iter(i, cfg.stn_lr, cfg.anneal_psi, cfg.period,
+                                 cfg.tm, cfg.decay) for i in iters_blk]
+        lr_lls = [lr_used_at_iter(i, cfg.ll_lr, cfg.anneal_psi, cfg.period,
+                                  cfg.tm, cfg.decay) for i in iters_blk]
+        zks = [jax.random.fold_in(z_key, i) for i in iters_blk]
+        if blk == 1:
+            z = jax.random.normal(zks[0], (cfg.batch, cfg.g.style_dim))
+            if mesh is not None:
+                z = shard_global_batch(mesh, z)
+            state, metrics = step_fn(state, z,
+                                     jax.random.fold_in(zks[0], 1),
+                                     jnp.float32(psis[0]),
+                                     jnp.float32(lr_ts[0]),
+                                     jnp.float32(lr_lls[0]))
+            metrics = jax.tree.map(lambda x: x[None], metrics)
+        else:
+            zs = jnp.stack(
+                [jax.random.normal(zk, (cfg.batch, cfg.g.style_dim))
+                 for zk in zks])
+            keys = jnp.stack([jax.random.fold_in(zk, 1) for zk in zks])
+            if mesh is not None:
+                zs = shard_global_batch(mesh, zs, axis=1)
+            state, metrics = scan_fn(state, zs, keys,
+                                     jnp.asarray(psis, jnp.float32),
+                                     jnp.asarray(lr_ts, jnp.float32),
+                                     jnp.asarray(lr_lls, jnp.float32))
+        if profiling and idx + blk >= profile_stop:
             jax.block_until_ready(state)
             jax.profiler.stop_trace()
             profiling = False
-            print(f"\n[profiler] trace of iterations {trace_first}..{i} "
-                  f"written to {profile_dir}", flush=True)
-        if i % log_every == 0 or i in zero_lr:
-            m = {k: float(v) for k, v in metrics.items()}
-            writer.add_scalar("Loss/Reconstruction", m["p"], i)
-            writer.add_scalar("Loss/TotalVariation", m["tv"], i)
-            writer.add_scalar("Loss/FlowIdentity", m["f"], i)
-            writer.add_scalar("Progress/psi", psi, i)
-            writer.add_scalar("Progress/STN_LearningRate", lr_t, i)
-            writer.add_scalar("Progress/LL_LearningRate", lr_ll, i)
+            print(f"\n[profiler] trace of iterations {trace_first}.."
+                  f"{iters_blk[-1]} written to {profile_dir}", flush=True)
+        log_js = [j for j, i in enumerate(iters_blk)
+                  if i % log_every == 0 or i in zero_lr]
+        if log_js:
+            mh = jax.tree.map(np.asarray, metrics)  # one host transfer
+            for j in log_js:
+                i = iters_blk[j]
+                m = {k: float(v[j]) for k, v in mh.items()}
+                writer.add_scalar("Loss/Reconstruction", m["p"], i)
+                writer.add_scalar("Loss/TotalVariation", m["tv"], i)
+                writer.add_scalar("Loss/FlowIdentity", m["f"], i)
+                writer.add_scalar("Progress/psi", psis[j], i)
+                writer.add_scalar("Progress/STN_LearningRate", lr_ts[j], i)
+                writer.add_scalar("Progress/LL_LearningRate", lr_lls[j], i)
             if progress:
+                i, j = iters_blk[log_js[-1]], log_js[-1]
                 rate = (i - start_iter) / max(time.time() - t0, 1e-9)
-                print(f"\r[{i}/{cfg.iter}] p={m['p']:.4f} tv={m['tv']:.6f} "
-                      f"psi={psi:.4f} {rate * cfg.batch:.1f} imgs/s",
+                print(f"\r[{i}/{cfg.iter}] p={float(mh['p'][j]):.4f} "
+                      f"tv={float(mh['tv'][j]):.6f} "
+                      f"psi={psis[j]:.4f} {rate * cfg.batch:.1f} imgs/s",
                       end="", flush=True)
-        if ckpt_every > 0 and (i % ckpt_every == 0 or i in zero_lr):
-            save(i)
-        if vis_every > 0 and (i % vis_every == 0 or i in early_vis):
-            maybe_vis(i, psi)
+        # ckpt/vis points land on block boundaries (state only exists
+        # there); a cadence hit inside a block saves at the block's end
+        i_end = iters_blk[-1]
+        if ckpt_every > 0 and any(i % ckpt_every == 0 or i in zero_lr
+                                  for i in iters_blk):
+            save(i_end)
+        if vis_every > 0 and any(i % vis_every == 0 or i in early_vis
+                                 for i in iters_blk):
+            maybe_vis(i_end, psis[-1])
+        idx += blk
     if profiling:  # window extended past the last iteration
         jax.block_until_ready(state)
         jax.profiler.stop_trace()

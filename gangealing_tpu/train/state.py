@@ -60,7 +60,13 @@ def adam():
 
 
 def init_train_state(t_params, ll_params) -> Dict[str, Any]:
+    """Fresh optimizer state. Every param leaf is COPIED: the train
+    step/scan donate the state buffers (and device_put can alias on some
+    backends), so the state must never share buffers with caller-owned
+    arrays — donation would delete them out from under the caller."""
     opt = adam()
+    t_params = jax.tree.map(jnp.copy, t_params)
+    ll_params = jax.tree.map(jnp.copy, ll_params)
     return {
         "t": t_params,
         "ll": ll_params,
