@@ -100,6 +100,70 @@ def test_cluster_train_step():
     assert np.isfinite(float(metrics["p"]))
 
 
+def test_cluster_train_smoke_default_tier():
+    """DEFAULT-tier smoke of the cluster (K=2 + flips) train path, fused
+    through the k-step scan (one compile): two iterations produce finite
+    per-step losses, nonzero TV/identity terms, and move the STN, ll and
+    EMA params. The full per-iteration dynamics parity vs the actual torch
+    reference is the slow-marked test_cluster_training_dynamics_parity
+    (test_reference_parity.py); this catches wiring regressions in the
+    default suite at the smallest compilable shapes."""
+    from gangealing_tpu.train.state import make_train_scan
+
+    g_cfg = GeneratorConfig(size=64, style_dim=16, n_mlp=2,
+                            channel_multiplier=1, max_channels=16)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"),
+                              flow_size=64, supersize=64,
+                              channel_multiplier=0.25, flow_downsample=4,
+                              max_channels=16, num_heads=2)
+    ll_cfg = LatentLearnerConfig(n_comps=2, inject_index=2,
+                                 n_latent=g_cfg.n_latent, num_heads=2,
+                                 style_dim=16)
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=2, flips=True,
+                      tv_weight=10.0, flow_identity_weight=1.0,
+                      anneal_psi=100, period=50)
+    g_params = generator_init(jax.random.PRNGKey(0), g_cfg)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), t_cfg)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
+    # zero-init flow head outputs zero delta flow; perturb it so the
+    # TV/identity loss terms are exercised (nonzero)
+    for pk in t_params:
+        if "flow_out" in pk and pk.endswith("weight"):
+            t_params[pk] = 0.05 * jax.random.normal(
+                jax.random.fold_in(jax.random.PRNGKey(7),
+                                   sum(map(ord, pk)) % 997),
+                t_params[pk].shape)
+    state = init_train_state(t_params, ll_params)
+
+    k = 2
+    zs = jax.random.normal(jax.random.PRNGKey(5), (k, 2, 16))
+    keys = jax.random.split(jax.random.PRNGKey(6), k)
+    scan = make_train_scan(cfg, g_params, None, _l2_perceptual, k,
+                           donate=False)
+    new_state, m = scan(state, zs, keys, jnp.asarray([0.9, 0.5]),
+                        jnp.asarray([1e-3, 5e-4]), jnp.asarray([1e-2, 5e-3]))
+    assert int(new_state["step"]) == k
+    for mk in ("p", "tv", "f"):
+        vals = np.asarray(m[mk])
+        assert vals.shape == (k,)
+        assert np.all(np.isfinite(vals)), (mk, vals)
+    assert np.all(np.asarray(m["tv"]) > 0)
+    assert np.all(np.asarray(m["f"]) > 0)
+    assert not np.allclose(np.asarray(state["ll"]["coefficients"]),
+                           np.asarray(new_state["ll"]["coefficients"]))
+    moved = sum(not np.allclose(np.asarray(state["t"][pk]),
+                                np.asarray(new_state["t"][pk]))
+                for pk in state["t"])
+    assert moved > 0
+    # EMA accumulated toward the moving params
+    for pk in state["t_ema"]:
+        if not np.allclose(np.asarray(state["t"][pk]),
+                           np.asarray(new_state["t"][pk])):
+            assert not np.allclose(np.asarray(state["t_ema"][pk]),
+                                   np.asarray(new_state["t_ema"][pk]))
+            break
+
+
 @pytest.mark.slow
 def test_train_step_sharded_8_devices():
     assert jax.device_count() == 8
