@@ -15,8 +15,11 @@ Metrics:
      bidirectional, per-image thresholds; BASELINE config #2 shape).
   3. congeal_imgs_per_sec_per_chip_256px — forward congeal of the
      reference-default ComposedSTN (flow_size=128, channel_multiplier=0.5),
-     256px inputs, batch 128 (throughput configuration; batch 40 is within
-     ~7% — the per-batch number is printed for reference).
+     256px inputs, batch 128. Batches 32-128 all sit on the same ~0.52 MFU
+     plateau with 128 marginally ahead and 160 falling off (measured
+     drift-controlled by benchmarks/congeal_batch_sweep.py --interleave);
+     the batch-40 row is printed for reference and is timed INTERLEAVED
+     with the 128 row so ambient drift cannot reorder them (it did in r4).
 
 Timing notes: on this environment device dispatch is asynchronous through a
 relay and ``block_until_ready`` does not reflect completion, so every timed
@@ -85,15 +88,29 @@ def bench_congeal():
         out, grid, fom = fn(p, x)
         return out.mean() + grid.mean() + fom.mean()
 
-    results = {}
+    # Interleaved rounds (compile everything first, then alternate timing
+    # between the batch shapes): back-to-back sequential measurements
+    # through the relay drift 10-20% globally, which round 4 misread as a
+    # batch-40-beats-128 inversion (benchmarks/congeal_batch_sweep.py
+    # re-measured both drift-controlled: 32-128 sit on one ~0.52 MFU
+    # plateau, 128 marginally ahead). Interleaving makes the two printed
+    # rows comparable with each other.
+    execs = {}
     for batch in (40, 128):
         imgs = jnp.asarray(rng.randn(batch, 3, 256, 256).astype(np.float32))
         # AOT-compile once: the same executable serves cost analysis + runs
-        compiled = fwd.lower(params, imgs).compile()
+        execs[batch] = (fwd.lower(params, imgs).compile(), imgs)
+    rounds = 4
+    times = {b: [] for b in execs}  # per-round minima
+    for _ in range(rounds):
+        overhead = _timeit(null_probe, params, execs[40][1], reps=6)
+        for batch, (compiled, imgs) in execs.items():
+            total = _timeit(compiled, params, imgs, reps=6)
+            times[batch].append(max(total - overhead, 1e-6))
+    results = {}
+    for batch, (compiled, _) in execs.items():
+        dt = float(np.median(times[batch]))
         flops = _flops_of(compiled)
-        overhead = _timeit(null_probe, params, imgs)
-        total = _timeit(compiled, params, imgs)
-        dt = max(total - overhead, 1e-6)
         mfu = flops / dt / V5E_BF16_PEAK_FLOPS if flops else None
         results[batch] = (batch / dt, mfu)
     return results
@@ -212,6 +229,86 @@ def bench_train_step(compute_dtype="float32", batch=40):
     return batch / dt, mfu
 
 
+def bench_train_scan(batch=5, scan_k=8, compute_dtype="float32"):
+    """The k-step FUSED train path (train/state.py make_train_scan — what
+    cli/train.py auto-enables at per-chip batch < 16): k optimizer steps
+    per device dispatch, amortizing the per-call host/dispatch latency
+    that dominates at the reference's per-GPU batch of 5
+    (README.md:276-277). Returns (imgs_per_sec, mfu).
+
+    MFU note: XLA cost analysis counts a scan BODY once, not x trip count,
+    so flops are taken as k single-step executables' worth (the body is
+    the same graph; see benchmarks/batch5_decompose.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gangealing_tpu.models.stylegan2 import GeneratorConfig, generator_init
+    from gangealing_tpu.models.stn import ComposedSTNConfig, composed_stn_init
+    from gangealing_tpu.models.latent_learner import (
+        LatentLearnerConfig, latent_learner_init)
+    from gangealing_tpu.models.lpips import vgg16_init, lpips_distance
+    from gangealing_tpu.train.state import (
+        TrainConfig, init_train_state, make_train_step, make_train_scan)
+
+    g_cfg = GeneratorConfig(size=256)
+    t_cfg = ComposedSTNConfig(transforms=("similarity", "flow"),
+                              flow_size=128, supersize=256,
+                              channel_multiplier=0.5)
+    ll_cfg = LatentLearnerConfig(n_comps=512, inject_index=5,
+                                 n_latent=g_cfg.n_latent, num_heads=1)
+    cfg = TrainConfig(g=g_cfg, t=t_cfg, ll=ll_cfg, batch=batch,
+                      tv_weight=1000.0, flow_identity_weight=1.0,
+                      anneal_psi=100, period=50, loss_fn="vgg_ssl",
+                      compute_dtype=compute_dtype)
+    g_params = generator_init(jax.random.PRNGKey(0), g_cfg)
+    t_params = composed_stn_init(jax.random.PRNGKey(1), t_cfg)
+    ll_params = latent_learner_init(jax.random.PRNGKey(2), ll_cfg)
+    vgg_params = vgg16_init(jax.random.PRNGKey(3))
+
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def perceptual_fn(p, x, y):
+        return lpips_distance(p, x, y, use_lins=False,
+                              compute_dtype=dtype) / 18.0
+
+    state = init_train_state(t_params, ll_params)
+    # single-step executable: honest per-step FLOPs for the scan body
+    step = make_train_step(cfg, g_params, vgg_params, perceptual_fn,
+                           donate=False)
+    z1 = jax.random.normal(jax.random.PRNGKey(4), (batch, g_cfg.style_dim))
+    lr = jnp.float32(1e-3)
+    step_flops = _flops_of(
+        step.lower(state, z1, jax.random.PRNGKey(5), jnp.float32(0.9),
+                   lr, lr).compile())
+
+    scan = make_train_scan(cfg, g_params, vgg_params, perceptual_fn, scan_k,
+                           donate=True)
+    zs = jax.random.normal(jax.random.PRNGKey(6),
+                           (scan_k, batch, g_cfg.style_dim))
+    keys = jax.random.split(jax.random.PRNGKey(7), scan_k)
+    psis = jnp.full((scan_k,), 0.9)
+    lrs = jnp.full((scan_k,), 1e-3)
+    compiled = scan.lower(state, zs, keys, psis, lrs, lrs).compile()
+
+    state, m = compiled(state, zs, keys, psis, lrs, lrs)
+    _ = float(m["p"][0])
+    ts = []
+    for _ in range(6):
+        t0 = time.time()
+        state, m = compiled(state, zs, keys, psis, lrs, lrs)
+        _ = float(m["p"][0])
+        ts.append(time.time() - t0)
+
+    @jax.jit
+    def null_probe(s):
+        return s["t"]["stns.0.warp_head.linear.bias"][0]
+    oh = _timeit(null_probe, state)
+    dt = max(min(ts) - oh, 1e-6)
+    mfu = (step_flops * scan_k / dt / V5E_BF16_PEAK_FLOPS
+           if step_flops else None)
+    return batch * scan_k / dt, mfu
+
+
 def _round_mfu(mfu):
     return round(mfu, 4) if mfu is not None else None
 
@@ -226,6 +323,14 @@ def main():
         "unit": "imgs/s",
         "vs_baseline": None,
         "mfu_bf16_peak": _round_mfu(mfu5),
+    }), flush=True)
+    scan5, mfu5s = bench_train_scan(batch=5, scan_k=8)
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip_256px_batch5_scan8",
+        "value": round(scan5, 2),
+        "unit": "imgs/s",
+        "vs_baseline": None,
+        "mfu_bf16_peak": _round_mfu(mfu5s),
     }), flush=True)
     train_rate, mfu40 = bench_train_step()
     print(json.dumps({
