@@ -332,6 +332,17 @@ def main():
         "vs_baseline": None,
         "mfu_bf16_peak": _round_mfu(mfu5s),
     }), flush=True)
+    # bf16 + scan is the best measured batch-5 operating point (what the
+    # CLI gives with --compute_dtype bfloat16; scan auto-on at batch < 16)
+    scan5b, mfu5sb = bench_train_scan(batch=5, scan_k=8,
+                                      compute_dtype="bfloat16")
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip_256px_batch5_scan8_bf16",
+        "value": round(scan5b, 2),
+        "unit": "imgs/s",
+        "vs_baseline": None,
+        "mfu_bf16_peak": _round_mfu(mfu5sb),
+    }), flush=True)
     train_rate, mfu40 = bench_train_step()
     print(json.dumps({
         "metric": "train_imgs_per_sec_per_chip_256px",

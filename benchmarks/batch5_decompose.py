@@ -12,6 +12,8 @@ recovers (dispatch/host amortization).
 import sys
 import time
 
+sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 
