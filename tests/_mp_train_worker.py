@@ -19,8 +19,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
-_NDEV = "4" if sys.argv[1] in ("single", "flow_single", "prop_single") \
-    else "2"
+_NDEV = "4" if sys.argv[1] in ("single", "flow_single", "prop_single",
+                               "congeal_single", "avg_single",
+                               "mr_single") else "2"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count="
                            + _NDEV)
@@ -101,12 +102,136 @@ def prop_main():
           + f" AVG {avg:.8f}", flush=True)
 
 
+def _tiny_stn():
+    from gangealing_tpu.models.stn import (
+        ComposedSTNConfig, composed_stn_init)
+    cfg = ComposedSTNConfig(transforms=("similarity", "flow"), flow_size=64,
+                            supersize=64, channel_multiplier=0.25,
+                            flow_downsample=4, max_channels=32)
+    params = composed_stn_init(jax.random.PRNGKey(0), cfg)
+    k = "stns.1.warp_head.flow_out.2.weight"
+    params[k] = 0.05 * jax.random.normal(jax.random.PRNGKey(7),
+                                         params[k].shape)
+    return params, cfg
+
+
+def congeal_main():
+    """congeal_dataset across processes: each process aligns its stride of
+    the 10-image LMDB on its local devices and writes accepted PNGs under
+    its per-process filename prefix into the SHARED temp folder; used
+    indices cross processes via all_gatherv and only the primary process
+    builds the output LMDB behind host barriers (the reference's
+    chr(ord('a')+rank) scheme, congeal_dataset.py:29-38)."""
+    import numpy as np
+
+    mode = sys.argv[1]
+    if mode == "congeal":
+        pid, port, data_path, out = (int(sys.argv[2]), sys.argv[3],
+                                     sys.argv[4], sys.argv[5])
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=2, process_id=pid)
+        assert jax.process_count() == 2
+    else:
+        data_path, out = sys.argv[2], sys.argv[3]
+
+    from gangealing_tpu.apps.congeal_dataset import align_and_filter_dataset
+    from gangealing_tpu.data.dataset import MultiResolutionDataset
+    from gangealing_tpu.parallel import auto_mesh
+
+    params, cfg = _tiny_stn()
+    used = align_and_filter_dataset(
+        params, cfg, data_path, out, real_size=64, flow_size=64,
+        output_resolution=64, batch=3, min_effective_resolution=32,
+        no_flip_inference=True, mesh=auto_mesh())
+    line = "USED " + ",".join(map(str, used))
+    if jax.process_index() == 0:
+        # LMDB item order differs between runs (per-process PNG prefixes),
+        # so compare content as a sorted multiset of per-image means
+        ds = MultiResolutionDataset(out, resolution=64)
+        means = sorted(float(np.asarray(ds[i], np.float32).mean())
+                       for i in range(len(ds)))
+        line += " MEANS " + ",".join(f"{m:.6f}" for m in means)
+    print(line, flush=True)
+
+
+def avg_main():
+    """average_image_video across processes: each process sums its stride
+    of the images and the per-frame partial sums are reduced across hosts
+    (the reference's per-rank n_mean shards + all_gather mean,
+    vis_correspondence.py:338-379)."""
+    import numpy as np
+
+    mode = sys.argv[1]
+    if mode == "avg":
+        pid, port = int(sys.argv[2]), sys.argv[3]
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=2, process_id=pid)
+        assert jax.process_count() == 2
+
+    from gangealing_tpu.apps.vis_correspondence import average_image_video
+    from gangealing_tpu.parallel import auto_mesh
+
+    params, cfg = _tiny_stn()
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(7, 3, 64, 64).astype(np.float32) * 2 - 1
+    frames = average_image_video(params, cfg, imgs, num_frames=3, batch=3,
+                                 mesh=auto_mesh())
+    means = [float(np.asarray(f, np.float32).mean()) for f in frames]
+    print("AVGFRAMES " + ",".join(f"{m:.6f}" for m in means), flush=True)
+
+
+def mr_main():
+    """mixed_reality across processes: each process renders its stride of
+    the frames (propagated points + congealed frames) and the results are
+    reassembled in global frame order via gather_process_stripes (the
+    reference's stride-shard + de-interleave, mixed_reality.py:28-33)."""
+    import numpy as np
+
+    mode = sys.argv[1]
+    if mode == "mr":
+        pid, port = int(sys.argv[2]), sys.argv[3]
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=2, process_id=pid)
+        assert jax.process_count() == 2
+
+    from gangealing_tpu.apps.mixed_reality import run_gangealing_on_video
+    from gangealing_tpu.parallel import auto_mesh
+
+    params, cfg = _tiny_stn()
+    rng = np.random.RandomState(0)
+    frames = rng.rand(7, 3, 64, 64).astype(np.float32) * 2 - 1
+    pts = rng.rand(5, 2).astype(np.float32) * 63
+    colors = rng.rand(5, 3).astype(np.float32) * 2 - 1
+    alphas = np.ones((5, 1), np.float32)
+    out = run_gangealing_on_video(
+        params, cfg, frames, points=np.asarray(pts),
+        colors=np.asarray(colors), alphas=np.asarray(alphas),
+        batch=3, no_flip_inference=True, save_correspondences=True,
+        mesh=auto_mesh())
+    lines = []
+    for key in ("propagated", "congealed", "correspondences"):
+        arr = np.asarray(out[key], np.float32)
+        per_frame = arr.reshape(arr.shape[0], -1).mean(1)
+        lines.append(key.upper() + " "
+                     + ",".join(f"{m:.6f}" for m in per_frame))
+    print("\n".join(lines), flush=True)
+
+
 def main():
     mode = sys.argv[1]
     if mode in ("flow", "flow_single"):
         return flow_main()
     if mode in ("prop", "prop_single"):
         return prop_main()
+    if mode in ("congeal", "congeal_single"):
+        return congeal_main()
+    if mode in ("avg", "avg_single"):
+        return avg_main()
+    if mode in ("mr", "mr_single"):
+        return mr_main()
     if mode == "multi":
         pid, port = int(sys.argv[2]), sys.argv[3]
         jax.distributed.initialize(

@@ -97,6 +97,138 @@ def test_two_process_flow_scores_match_single_controller(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_congeal_dataset_matches_single_controller(tmp_path):
+    """Multi-process congeal_dataset (round-4 verdict #3): each process
+    aligns its stride of 10 images into the SHARED temp folder under its
+    per-process PNG prefix, used indices cross processes via all_gatherv,
+    and only the primary builds the output LMDB behind host barriers.
+    The retained index list and the output LMDB's image content (as a
+    sorted multiset — item order legitimately differs with per-process
+    prefixes) must match the single-controller run."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from gangealing_tpu.data.lmdb_io import write_lmdb
+
+    n, S = 10, 64
+    rng = np.random.RandomState(0)
+    items = {b"length": str(n).encode()}
+    for i in range(n):
+        buf = io.BytesIO()
+        Image.fromarray((rng.rand(S, S, 3) * 255).astype(np.uint8)).save(
+            buf, format="PNG")
+        items[f"{S}-{str(i).zfill(5)}".encode()] = buf.getvalue()
+    data_path = str(tmp_path / "imgs")
+    write_lmdb(data_path, items)
+
+    def parse(out):
+        m = re.search(r"USED ([\d,]*)(?: MEANS ([-\d.,e]+))?", out)
+        assert m, f"no USED line in output:\n{out}"
+        used = [int(x) for x in m.group(1).split(",") if x]
+        means = ([float(x) for x in m.group(2).split(",")]
+                 if m.group(2) else None)
+        return used, means
+
+    port = str(_free_port())
+    out_multi = str(tmp_path / "aligned_multi")
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), "congeal", str(pid), port,
+         data_path, out_multi],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(WORKER.parent.parent)) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    used0, means0 = parse(outs[0][0])
+    used1, means1 = parse(outs[1][0])
+    assert used0 == used1  # every process returns the gathered full list
+    assert means1 is None  # only the primary read the LMDB back
+
+    single = _run(["congeal_single", data_path,
+                   str(tmp_path / "aligned_single")])
+    assert single.returncode == 0, (
+        f"single failed:\n{single.stdout}\n{single.stderr[-3000:]}")
+    used_s, means_s = parse(single.stdout)
+    assert used0 == used_s
+    assert means0 is not None and means_s is not None
+    assert len(means0) == len(used_s)
+    np.testing.assert_allclose(means0, means_s, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_two_process_average_video_matches_single_controller():
+    """Multi-process average_image_video (round-4 verdict #3): each
+    process sums its stride of 7 images and the per-frame partial sums
+    are reduced across hosts; per-frame grid means must match the
+    single-controller run."""
+    import numpy as np
+
+    def parse(out):
+        m = re.search(r"AVGFRAMES ([-\d.,e]+)", out)
+        assert m, f"no AVGFRAMES line in output:\n{out}"
+        return np.asarray([float(x) for x in m.group(1).split(",")])
+
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), "avg", str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(WORKER.parent.parent)) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    a0, a1 = parse(outs[0][0]), parse(outs[1][0])
+    np.testing.assert_allclose(a0, a1, atol=1e-7)
+
+    single = _run(["avg_single"])
+    assert single.returncode == 0, (
+        f"single failed:\n{single.stdout}\n{single.stderr[-3000:]}")
+    a_s = parse(single.stdout)
+    assert a_s.shape == a0.shape == (3,)
+    np.testing.assert_allclose(a0, a_s, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_mixed_reality_matches_single_controller():
+    """Multi-process mixed_reality (round-4 verdict #3): each process
+    renders its stride of 7 frames (uneven stripes: 4 vs 3, plus a padded
+    tail batch) and run_gangealing_on_video reassembles global frame order
+    via gather_process_stripes. Per-frame propagated/congealed image means
+    and per-frame correspondence-point means must match the
+    single-controller run."""
+    import numpy as np
+
+    def parse(out):
+        vals = {}
+        for key in ("PROPAGATED", "CONGEALED", "CORRESPONDENCES"):
+            m = re.search(key + r" ([-\d.,e]+)", out)
+            assert m, f"no {key} line in output:\n{out}"
+            vals[key] = np.asarray([float(x) for x in m.group(1).split(",")])
+        return vals
+
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), "mr", str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(WORKER.parent.parent)) for pid in (0, 1)]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+    v0, v1 = parse(outs[0][0]), parse(outs[1][0])
+
+    single = _run(["mr_single"])
+    assert single.returncode == 0, (
+        f"single failed:\n{single.stdout}\n{single.stderr[-3000:]}")
+    vs = parse(single.stdout)
+    for key in v0:
+        assert v0[key].shape == vs[key].shape == (7,)
+        # both processes hold the full gathered result
+        np.testing.assert_allclose(v0[key], v1[key], atol=1e-7)
+        np.testing.assert_allclose(v0[key], vs[key], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_two_process_propagate_matches_single_controller():
     """Newly wired multi-process APP path (round-4 verdict #3): each
     process congeals its stride of 7 images (uneven stripes: 4 vs 3, plus
