@@ -130,10 +130,9 @@ def main():
                           tv_weight=1000.0, flow_identity_weight=1.0,
                           anneal_psi=100, period=50, loss_fn="vgg_ssl",
                           compute_dtype=compute_dtype)
-        # copy: the donated step consumes the state's buffers, and
-        # init_train_state aliases t_params/ll_params (needed again at B=40)
-        state = init_train_state(jax.tree.map(jnp.copy, t_params),
-                                 jax.tree.map(jnp.copy, ll_params))
+        # init_train_state copies its inputs, so t_params/ll_params stay
+        # valid for the next batch size even though the step donates state
+        state = init_train_state(t_params, ll_params)
         step = make_train_step(cfg, g_params, vgg_params, perceptual_fn,
                                donate=True)
         lr = jnp.float32(1e-3)

@@ -214,38 +214,22 @@ def run_gangealing_on_video(params, cfg: ComposedSTNConfig, frames,
                     pad_value=-1.0,
                     nrow=max(1, int(np.ceil(cfg.num_heads ** 0.5)))))
 
-    def _assemble(chunks, shape_tail, dtype=np.float32):
-        local = (np.concatenate(chunks, 0) if chunks
-                 else np.zeros((0,) + shape_tail, dtype))
+    def _assemble(chunks):
+        # empty stripe (T < process count): gather_process_stripes
+        # reconciles the placeholder's shape/dtype across processes
+        local = np.concatenate(chunks, 0) if chunks else np.zeros((0,))
         return gather_process_stripes(local, T)
 
     result = {}
     if not save_frames:
-        # empty stripe (T < process count): every process must still join
-        # the gather with a shape-compatible (0, ...) array
-        if congealed:
-            S_out = congealed[0].shape[-1]
-        elif lazy_paths is None:
-            S_out = min(np.asarray(frames).shape[-2:])
-        else:
-            from gangealing_tpu.data.prepare import load_frame_paths
-            S_out = min(load_frame_paths(lazy_paths[:1]).shape[-2:])
-        result["congealed"] = _assemble(congealed, (3, S_out, S_out))
+        result["congealed"] = _assemble(congealed)
         if objects and points is not None:
-            result["propagated"] = _assemble(
-                propagated, (3, S_out, S_out))
+            result["propagated"] = _assemble(propagated)
     if save_correspondences and points is not None and objects:
-        result["correspondences"] = _assemble(
-            correspondences, (points.shape[-2], 2))
+        result["correspondences"] = _assemble(correspondences)
     if averages is not None:
-        if average_frames:
-            local_af = np.stack(average_frames)
-        else:  # empty stripe (T < process count): still join the gather
-            probe = images2grid(
-                np.asarray(inactive_averages), normalize=True,
-                range=(-1, 1), pad_value=-1.0,
-                nrow=max(1, int(np.ceil(cfg.num_heads ** 0.5))))
-            local_af = np.zeros((0,) + probe.shape, probe.dtype)
+        local_af = (np.stack(average_frames) if average_frames
+                    else np.zeros((0,)))
         average_frames = list(gather_process_stripes(local_af, T))
     if out_dir is not None and save_frames:
         host_barrier("mixed_reality_frames")  # all PNGs on disk first

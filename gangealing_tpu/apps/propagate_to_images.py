@@ -128,19 +128,20 @@ def propagate_to_images(params, cfg: ComposedSTNConfig, images,
                                alpha_channel=jnp.tile(alphas, (m, 1, 1)),
                                blend_alg=blend_alg)
             propagated.append(np.asarray(out[:n]))
-    def _assemble(chunks, shape_tail):
-        local = (np.concatenate(chunks, 0) if chunks
-                 else np.zeros((0,) + shape_tail, np.float32))
+    def _assemble(chunks):
+        # empty stripe (N < process count): gather_process_stripes
+        # reconciles the placeholder's shape/dtype across processes
+        local = np.concatenate(chunks, 0) if chunks else np.zeros((0,))
         return gather_process_stripes(local, N)
 
-    result = {"congealed": _assemble(congealed, (C, out_res, out_res))}
+    result = {"congealed": _assemble(congealed)}
     if average_n is None or average_n > 0:
         avg_src = result["congealed"]
         if average_n is not None:
             avg_src = avg_src[:average_n]
         result["average_congealed"] = avg_src.mean(axis=0, keepdims=True)
     if points is not None:
-        result["propagated"] = _assemble(propagated, (C, S, S))
+        result["propagated"] = _assemble(propagated)
     if out_dir is not None and jax.process_index() == 0:
         os.makedirs(out_dir, exist_ok=True)
         save_image(result["congealed"], os.path.join(out_dir, "congealed.png"),

@@ -134,7 +134,10 @@ def average_image_video(params, cfg: ComposedSTNConfig, images,
             acc = np.asarray(all_gather_hosts(acc)).sum(axis=0)
         mean = (acc / N)[None]
         frames.append(images2grid(mean, nrow=1, normalize=True))
-    if out_path is not None:
+    # every process computes/returns the frames (the reduction above is
+    # collective), but only the primary writes the shared output file
+    # (the reference writes under primary(), vis_correspondence.py:420-437)
+    if out_path is not None and jax.process_index() == 0:
         save_video(frames, fps, out_path)
     return frames
 
@@ -172,8 +175,10 @@ def bucket_real_images_by_cluster(classifier_params, classifier_cfg, images,
         a = classifier_assign(classifier_params, classifier_cfg, xb,
                               ignore_flips=True)
         assignments.append(np.asarray(a)[:n])
+    # empty stripe (N < process count): gather_process_stripes reconciles
+    # the placeholder's shape/dtype to the non-empty processes' int32
     local = (np.concatenate(assignments) if assignments
-             else np.zeros((0,), np.int64))
+             else np.zeros((0,)))
     assignments = gather_process_stripes(local, N)
     return [np.where(assignments == k)[0] for k in range(num_heads)]
 

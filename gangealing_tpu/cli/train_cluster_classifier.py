@@ -46,21 +46,27 @@ def main():
         cls_params = warm_start_from_stn(cls_params, t_params)
 
     results_path = os.path.join(args.results, args.exp_name)
-    writer = GANgealingWriter(results_path)
+    # primary-only scalar writer: concurrent processes would interleave
+    # writes to the shared JSONL/TB files
+    writer = (GANgealingWriter(results_path)
+              if jax.process_index() == 0 else None)
     cls_params, _ = train_cluster_classifier(
         cfg, cls_cfg, g_params, t_params, ll_params, cls_params,
         perceptual_params, perceptual_fn, iters=args.iter,
         cls_lr=args.cls_lr, period=args.period, decay=args.decay, tm=args.tm,
         seed=args.seed, log_every=args.log_every, writer=writer)
 
-    import numpy as np
-    import torch
-    out = os.path.join(results_path, "checkpoints", "classifier.pt")
-    ckpt_out = dict(ckpt["_raw"])
-    ckpt_out["classifier"] = {k: torch.from_numpy(np.asarray(v))
-                              for k, v in cls_params.items()}
-    torch.save(ckpt_out, out)
-    print(f"Saved classifier checkpoint to {out}")
+    # only the primary process writes the shared checkpoint (the reference
+    # fences under primary(), train_cluster_classifier.py:133,153)
+    if jax.process_index() == 0:
+        import numpy as np
+        import torch
+        out = os.path.join(results_path, "checkpoints", "classifier.pt")
+        ckpt_out = dict(ckpt["_raw"])
+        ckpt_out["classifier"] = {k: torch.from_numpy(np.asarray(v))
+                                  for k, v in cls_params.items()}
+        torch.save(ckpt_out, out)
+        print(f"Saved classifier checkpoint to {out}")
 
 
 if __name__ == "__main__":

@@ -101,8 +101,8 @@ def shard_global_batch(mesh: Mesh, batch, axis: int = 0,
             n = x.shape[axis]
             if n % n_proc:
                 raise ValueError(
-                    f"global batch axis {axis} ({n}) must divide the "
-                    f"process count ({n_proc})")
+                    f"global batch axis {axis} ({n}) must be divisible "
+                    f"by the process count ({n_proc})")
             b = n // n_proc
             idx = [slice(None)] * np.ndim(x)
             idx[axis] = slice(pid * b, (pid + 1) * b)
@@ -134,6 +134,9 @@ def process_stripe(n: int):
     return list(range(jax.process_index(), n, jax.process_count()))
 
 
+_STRIPE_MAXD = 8  # max trailing dims carried in the stripe descriptor
+
+
 def gather_process_stripes(x, n_total: int):
     """Inverse of process_stripe for per-item results: gather each
     process's stripe outputs and de-interleave back to global item order —
@@ -141,11 +144,33 @@ def gather_process_stripes(x, n_total: int):
     (utils/distributed.py:87-122 via flow_scores.py:39-42). ``x`` is this
     process's (len(stripe), ...) results; stripes are padded to equal
     length by repeating the last row (padding lands past ``n_total`` after
-    de-interleaving, so it is trimmed). Identity on a single process."""
+    de-interleaving, so it is trimmed). Identity on a single process.
+
+    A process with an EMPTY stripe (n_total < process count) may pass any
+    empty array — e.g. ``np.zeros((0,))`` — without knowing the item
+    shape/dtype: a descriptor gather first reconciles empty inputs to the
+    non-empty processes' trailing shape and dtype, so callers never
+    hand-build shape-compatible placeholders."""
     n_proc = jax.process_count()
     if n_proc == 1:
         return np.asarray(x)[:n_total]
     x = np.asarray(x)
+    # descriptor: [n_local, ndim, tail shape (MAXD), dtype.str as bytes]
+    if x.ndim - 1 > _STRIPE_MAXD:
+        raise ValueError(f"items with >{_STRIPE_MAXD} dims not supported")
+    d = np.zeros(2 + _STRIPE_MAXD + 8, np.int64)
+    d[0], d[1] = x.shape[0], x.ndim
+    d[2:2 + x.ndim - 1] = x.shape[1:]
+    code = np.frombuffer(x.dtype.str.encode().ljust(8), np.uint8)
+    d[2 + _STRIPE_MAXD:] = code
+    g_d = np.asarray(all_gather_hosts(d))  # (P, D)
+    ref = next((g_d[p] for p in range(n_proc) if g_d[p][0] > 0), None)
+    if x.shape[0] == 0 and ref is not None:
+        ndim = int(ref[1])
+        tail = tuple(int(v) for v in ref[2:2 + ndim - 1])
+        dtype = np.dtype(bytes(ref[2 + _STRIPE_MAXD:].astype(np.uint8))
+                         .decode().strip())
+        x = np.zeros((0,) + tail, dtype)
     m = (n_total + n_proc - 1) // n_proc
     if x.shape[0] < m:  # short stripe (n_total % n_proc != 0): pad
         reps = np.repeat(x[-1:] if x.shape[0] else

@@ -99,7 +99,8 @@ def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
     n_proc = jax.process_count()
     if n_proc > 1:
         # a process-spanning mesh must cover all devices (dropping chips
-        # would orphan whole processes); the global batch must divide it
+        # would orphan whole processes); the global batch must be
+        # divisible by the device count
         n_dev = jax.device_count()
         if not use_mesh:
             raise ValueError("use_mesh=False is a single-controller debug "
@@ -108,8 +109,8 @@ def train_cluster_classifier(cfg: TrainConfig, cls_cfg: ClassifierConfig,
                              "full-batch classifier)")
         if cfg.batch % n_dev:
             raise ValueError(
-                f"global batch ({cfg.batch}) must divide the device count "
-                f"({n_dev}) under a multi-process runtime")
+                f"global batch ({cfg.batch}) must be divisible by the "
+                f"device count ({n_dev}) under a multi-process runtime")
     else:
         # shard over the largest device count that divides the batch (a
         # sharded batch needs equal per-device shards; padding would change

@@ -126,9 +126,15 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
                 f"past the {cfg.iter - start_iter} steps this run will "
                 f"execute (start_iter={start_iter}, iter={cfg.iter}); "
                 "no trace would be captured")
-    writer = GANgealingWriter(results_path)
-    with open(os.path.join(results_path, "opt.txt"), "w") as f:
-        json.dump({k: str(v) for k, v in cfg.__dict__.items()}, f, indent=2)
+    # only the primary process writes files (checkpoints, visuals, TB/JSONL
+    # scalars, opt.txt) — concurrent writers on a shared filesystem would
+    # corrupt them (the reference fences under primary(), train.py:48,138)
+    primary = jax.process_index() == 0
+    writer = GANgealingWriter(results_path) if primary else None
+    if primary:
+        with open(os.path.join(results_path, "opt.txt"), "w") as f:
+            json.dump({k: str(v) for k, v in cfg.__dict__.items()}, f,
+                      indent=2)
 
     mesh = make_mesh() if use_mesh and jax.device_count() > 1 else None
 
@@ -189,7 +195,7 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
                          jax.tree.map(np.asarray, g_params),
                          train_cfg=cfg, iteration=i)
 
-    if vis_every > 0:
+    if vis_every > 0 and primary:
         maybe_vis(start_iter, 1.0 if cfg.anneal_psi > 0 else 0.0)
 
     scan_k = max(1, int(scan_k))
@@ -204,7 +210,10 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
     while idx < n_total:
         blk = scan_k if (scan_k > 1 and idx + scan_k <= n_total) else 1
         iters_blk = [idx + start_iter + 1 + j for j in range(blk)]
-        if profile_dir and idx >= profile_start and not profiling \
+        # start when the upcoming block OVERLAPS the window (idx jumps by
+        # blk, so a window inside one scan block would otherwise never
+        # match a block boundary and silently capture nothing)
+        if profile_dir and idx + blk > profile_start and not profiling \
                 and idx < profile_stop:
             jax.block_until_ready(state)  # trace starts on a step boundary
             jax.profiler.start_trace(profile_dir)
@@ -245,7 +254,7 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
                   f"{iters_blk[-1]} written to {profile_dir}", flush=True)
         log_js = [j for j, i in enumerate(iters_blk)
                   if i % log_every == 0 or i in zero_lr]
-        if log_js:
+        if log_js and primary:
             mh = jax.tree.map(np.asarray, metrics)  # one host transfer
             for j in log_js:
                 i = iters_blk[j]
@@ -266,11 +275,13 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
         # ckpt/vis points land on block boundaries (state only exists
         # there); a cadence hit inside a block saves at the block's end
         i_end = iters_blk[-1]
-        if ckpt_every > 0 and any(i % ckpt_every == 0 or i in zero_lr
-                                  for i in iters_blk):
+        if ckpt_every > 0 and primary \
+                and any(i % ckpt_every == 0 or i in zero_lr
+                        for i in iters_blk):
             save(i_end)
-        if vis_every > 0 and any(i % vis_every == 0 or i in early_vis
-                                 for i in iters_blk):
+        if vis_every > 0 and primary \
+                and any(i % vis_every == 0 or i in early_vis
+                        for i in iters_blk):
             maybe_vis(i_end, psis[-1])
         idx += blk
     if profiling:  # window extended past the last iteration

@@ -220,8 +220,38 @@ def mr_main():
     print("\n".join(lines), flush=True)
 
 
+def gather_main():
+    """gather_process_stripes with an EMPTY stripe on process 1
+    (n_total=1 < process count): the empty process passes a bare
+    np.zeros((0,)) and the descriptor gather must reconcile it to the
+    non-empty process's trailing shape and dtype (both the float32 image
+    case and the int32 assignment case that previously dtype-mismatched
+    in bucket_real_images_by_cluster)."""
+    import numpy as np
+
+    pid, port = int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+
+    from gangealing_tpu.parallel import gather_process_stripes
+
+    f_local = (np.arange(12, dtype=np.float32).reshape(1, 3, 4)
+               if pid == 0 else np.zeros((0,)))
+    f = gather_process_stripes(f_local, 1)
+    assert f.shape == (1, 3, 4) and f.dtype == np.float32, (f.shape, f.dtype)
+    i_local = (np.asarray([[7, 9]], np.int32) if pid == 0
+               else np.zeros((0,)))
+    g = gather_process_stripes(i_local, 1)
+    assert g.shape == (1, 2) and g.dtype == np.int32, (g.shape, g.dtype)
+    print(f"GATHER {f.sum():.1f} {int(g.sum())}", flush=True)
+
+
 def main():
     mode = sys.argv[1]
+    if mode == "gather":
+        return gather_main()
     if mode in ("flow", "flow_single"):
         return flow_main()
     if mode in ("prop", "prop_single"):

@@ -190,6 +190,24 @@ def test_two_process_average_video_matches_single_controller():
 
 
 @pytest.mark.slow
+def test_two_process_gather_reconciles_empty_stripes():
+    """A process whose stripe is empty (n_total < process count) passes a
+    bare np.zeros((0,)) to gather_process_stripes; the descriptor gather
+    reconciles its trailing shape AND dtype to the non-empty processes'
+    (regression for the int64-vs-int32 mismatch in
+    bucket_real_images_by_cluster's old hand-built placeholder)."""
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+        [sys.executable, str(WORKER), "gather", str(pid), port],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=str(WORKER.parent.parent)) for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        assert "GATHER 66.0 16" in out, out
+
+
+@pytest.mark.slow
 def test_two_process_mixed_reality_matches_single_controller():
     """Multi-process mixed_reality (round-4 verdict #3): each process
     renders its stride of 7 frames (uneven stripes: 4 vs 3, plus a padded

@@ -156,6 +156,24 @@ def test_profiler_trace_capture(tmp_path):
               for f in fs if f.endswith(".xplane.pb")]
     assert traces, f"no xplane trace written under {trace_dir}"
 
+    # a window that starts and stops INSIDE one scan block (scan_k=4,
+    # window (1, 3]): idx only visits block boundaries 0 and 4, so the
+    # pre-fix boundary-equality gate never fired; the overlap gate must
+    # still capture the block containing the window.
+    cfg4 = TrainConfig(g=G_CFG, t=T_CFG, ll=LL_CFG, batch=8, iter=4,
+                       anneal_psi=2, period=1)
+    trace_dir2 = str(tmp_path / "trace_scan")
+    state = train_gangealing(
+        cfg4, g_params, t_params, ll_params, None, _l2, results,
+        n_sample=4, n_mean=4, log_every=1, ckpt_every=0, vis_every=0,
+        progress=False, scan_k=4, profile_dir=trace_dir2, profile_start=1,
+        profile_stop=3)
+    assert int(state["step"]) == 4
+    traces = [f for root, _, fs in os.walk(trace_dir2)
+              for f in fs if f.endswith(".xplane.pb")]
+    assert traces, ("no xplane trace for a profile window inside a "
+                    f"scan block under {trace_dir2}")
+
 
 def test_cold_start_clustering(tmp_path):
     t_cfg = ComposedSTNConfig(**{**T_CFG.__dict__, "num_heads": 2})
