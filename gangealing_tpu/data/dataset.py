@@ -168,17 +168,28 @@ class DataLoader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        # rank striding (DistributedSampler semantics: pad to world size)
+        # rank striding (DistributedSampler semantics: pad to world size,
+        # TILING the index list when n < num_shards so every shard gets
+        # the same count — unequal shards make lock-step multi-host loops
+        # enter collectives a different number of times and deadlock)
         if self.num_shards > 1:
             total = ((n + self.num_shards - 1) // self.num_shards
                      * self.num_shards)
             if total > n:
-                idx = np.concatenate([idx, idx[:total - n]])
+                reps = np.tile(idx, (total - n + n - 1) // n)
+                idx = np.concatenate([idx, reps[:total - n]])
             idx = idx[self.shard_index::self.num_shards]
         return idx
 
+    def _shard_len(self):
+        # per-shard index count, arithmetically (no O(n) permutation)
+        n = len(self.dataset)
+        if self.num_shards > 1:
+            return (n + self.num_shards - 1) // self.num_shards
+        return n
+
     def __len__(self):
-        n = len(self._indices())
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -54,13 +54,10 @@ def _native_lib():
         return _LIB
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from gangealing_tpu.data._native_build import build_shared_lib
     src = os.path.join(here, "native", "lmdb_kv.cc")
     so = os.path.join(here, "native", "build", "liblmdb_kv.so")
-    if not os.path.exists(so) or (os.path.exists(src) and
-                                  os.path.getmtime(src) > os.path.getmtime(so)):
-        os.makedirs(os.path.dirname(so), exist_ok=True)
-        subprocess.check_call(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o", so])
+    build_shared_lib([src], so)
     lib = ctypes.CDLL(so)
     lib.gt_lmdb_open.restype = ctypes.c_void_p
     lib.gt_lmdb_open.argtypes = [ctypes.c_char_p]
@@ -143,6 +140,7 @@ class _PyReader:
 
     def __init__(self, path: str):
         fpath = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
+        self.path = fpath
         with open(fpath, "rb") as f:
             self.buf = f.read()
         if len(self.buf) < 2 * (PAGEHDRSZ + 136):  # sizeof(MDBMeta) == 136
@@ -227,8 +225,8 @@ class _PyReader:
             elif flags & P_LEAF:
                 if flags & P_LEAF2:
                     raise LMDBFormatError(
-                        f"{self.path if hasattr(self, 'path') else ''}"
-                        "LEAF2 (DUPFIXED) pages are not supported")
+                        f"{self.path}: LEAF2 (DUPFIXED) pages are not "
+                        "supported")
                 lo_i, hi_i = 0, nkeys
                 while lo_i < hi_i:
                     mid = (lo_i + hi_i) // 2
@@ -462,17 +460,25 @@ def write_lmdb(path: str, items: Dict[bytes, bytes], map_extra=0,
 
 
 def iterate_keys(path):
-    """Walk the B+tree and yield all keys in order (cursor equivalent,
-    used for LSUN-LMDB inputs to the dataset builder)."""
+    """Walk the B+tree and return all keys in order (cursor equivalent,
+    used for LSUN-LMDB inputs to the dataset builder). Returns [] for an
+    empty environment; raises LMDBFormatError on pages get() would also
+    reject (LEAF2/DUPSORT) instead of silently misreading them as keys."""
     r = _PyReader(path)
-    if r.root == P_INVALID:
-        return
-    stack = [r.root]
     out = []
+    if r.root == P_INVALID:
+        return out
 
     def walk(pgno):
         base = pgno * r.psize
+        if base + r.psize > len(r.buf):
+            raise LMDBFormatError(
+                f"{r.path}: page {pgno} lies beyond the end of the file "
+                "(truncated or corrupt LMDB)")
         flags = struct.unpack_from("<H", r.buf, base + 10)[0]
+        if flags & P_LEAF2:
+            raise LMDBFormatError(
+                f"{r.path}: LEAF2 (DUPFIXED) pages are not supported")
         lower = struct.unpack_from("<H", r.buf, base + 12)[0]
         nkeys = (lower - PAGEHDRSZ) >> 1
         ptrs = struct.unpack_from(f"<{nkeys}H", r.buf, base + PAGEHDRSZ)
@@ -483,6 +489,9 @@ def iterate_keys(path):
             if flags & P_BRANCH:
                 walk(lo | (hi << 16) | (nflags << 32))
             else:
+                if nflags & (F_SUBDATA | F_DUPDATA):
+                    raise LMDBFormatError(
+                        f"{r.path}: DUPSORT sub-databases are not supported")
                 out.append(k)
 
     walk(r.root)

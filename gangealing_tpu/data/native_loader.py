@@ -10,7 +10,6 @@ Falls back to the pure-Python DataLoader when no compiler is available.
 
 import ctypes
 import os
-import subprocess
 from typing import Iterator
 
 import numpy as np
@@ -24,15 +23,11 @@ def _native_lib():
         return _LIB
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    from gangealing_tpu.data._native_build import build_shared_lib
     srcs = [os.path.join(here, "native", "lmdb_kv.cc"),
             os.path.join(here, "native", "image_loader.cc")]
     so = os.path.join(here, "native", "build", "libgt_loader.so")
-    newest_src = max(os.path.getmtime(s) for s in srcs)
-    if not os.path.exists(so) or os.path.getmtime(so) < newest_src:
-        os.makedirs(os.path.dirname(so), exist_ok=True)
-        subprocess.check_call(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *srcs,
-             "-o", so, "-ljpeg", "-lpng", "-lpthread"])
+    build_shared_lib(srcs, so, ["-ljpeg", "-lpng", "-lpthread"])
     lib = ctypes.CDLL(so)
     lib.gt_loader_create.restype = ctypes.c_void_p
     lib.gt_loader_create.argtypes = [
@@ -74,8 +69,17 @@ class NativeImageLoader:
         n = self._lib.gt_loader_next(
             self._h, self._buf.ctypes.data_as(ctypes.c_void_p),
             self._idx.ctypes.data_as(ctypes.c_void_p))
+        if n == -2:
+            # a full epoch of chunks decoded zero images: the resolution
+            # key prefix doesn't exist in this LMDB, or the data is corrupt
+            raise RuntimeError(
+                f"native loader decoded no images for a full epoch — is "
+                f"resolution={self.resolution} present in this dataset?")
         if n < 0:
-            raise StopIteration
+            # loader closed/destroyed; a distinct exception, NOT
+            # StopIteration (PEP 479 would turn that into a confusing
+            # 'generator raised StopIteration' inside __iter__)
+            raise RuntimeError("native loader is closed")
         return self._buf[:n].copy(), self._idx[:n].copy()
 
     def __iter__(self) -> Iterator:

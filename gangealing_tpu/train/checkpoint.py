@@ -104,12 +104,10 @@ def export_torch(path: str, state: Dict[str, Any], g_params, args=None,
         "ll": to_t(state["ll"]),
     }
     if include_optimizers and "t_opt" in state:
-        try:
-            ckpt["t_optim"] = _export_adam_state(state["t_opt"], state["t"])
-            ckpt["ll_optim"] = _export_adam_state(state["ll_opt"],
-                                                  state["ll"])
-        except Exception:
-            pass  # moments are optional; weights alone still resume
+        # no silent fallback: a checkpoint quietly missing t_optim would
+        # "resume" with zeroed Adam moments and corrupt training dynamics
+        ckpt["t_optim"] = _export_adam_state(state["t_opt"], state["t"])
+        ckpt["ll_optim"] = _export_adam_state(state["ll_opt"], state["ll"])
     if train_cfg is not None:
         ckpt["t_sched"] = _export_sched_state(
             train_cfg.stn_lr, iteration, train_cfg.anneal_psi,

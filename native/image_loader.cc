@@ -145,7 +145,9 @@ struct Loader {
   int num_threads = 4;
   bool shuffle = true;
   int64_t length = 0;
-  uint64_t seed = 0;
+  // written by gt_loader_set_epoch while workers read it concurrently in
+  // reshuffle(): atomic, or the epoch shuffle becomes nondeterministic
+  std::atomic<uint64_t> seed{0};
 
   std::vector<int64_t> order;
   std::mutex order_mu;  // guards order + cursor + epoch_counter
@@ -216,7 +218,7 @@ struct Loader {
         std::lock_guard<std::mutex> lk(order_mu);
         if (cursor >= order.size()) {
           epoch_counter++;
-          reshuffle(seed + epoch_counter * 0x9e3779b97f4a7c15ULL);
+          reshuffle(seed.load() + epoch_counter * 0x9e3779b97f4a7c15ULL);
           cursor = 0;
         }
         size_t start = cursor;
@@ -225,7 +227,9 @@ struct Loader {
         idxs.assign(order.begin() + start, order.begin() + end);
         ticket = next_ticket++;
       }
-      if (idxs.empty()) continue;
+      // NOTE: even an empty chunk must be delivered — skipping it would
+      // leave a permanent hole in the ticket sequence and hang the
+      // consumer (create() rejects length<=0, so this is defensive)
       Batch b;
       b.data.resize(size_t(batch) * img_floats, 0.0f);
       b.indices.resize(batch, -1);
@@ -277,6 +281,11 @@ void* gt_loader_create(const char* path, int resolution, int batch,
   }
   l->length = atoll(std::string(reinterpret_cast<const char*>(val),
                                 size_t(n)).c_str());
+  if (l->length <= 0) {  // empty dataset: error now, not a consumer hang
+    gt_lmdb_close(l->env);
+    delete l;
+    return nullptr;
+  }
   l->resolution = resolution;
   l->batch = batch;
   l->num_threads = std::max(1, num_threads);
@@ -294,9 +303,16 @@ int64_t gt_loader_len(void* h) {
 }
 
 // Blocks until a batch is ready. out must hold batch*3*res*res floats and
-// indices batch int64s. Returns the number of valid images.
+// indices batch int64s. Returns the number of valid images, -1 if the
+// loader was destroyed, or -2 if a full epoch's worth of consecutive
+// chunks decoded ZERO images (wrong `resolution` key prefix or a corrupt
+// dataset) — erroring beats blocking forever on a user mistake the
+// pure-Python loader reports as a KeyError.
 int gt_loader_next(void* h, float* out, int64_t* indices) {
   Loader* l = static_cast<Loader*>(h);
+  const uint64_t chunks_per_epoch =
+      (uint64_t(l->length) + l->batch - 1) / l->batch;
+  uint64_t consecutive_empty = 0;
   for (;;) {
     Batch b;
     {
@@ -311,7 +327,10 @@ int gt_loader_next(void* h, float* out, int64_t* indices) {
       l->expected_out++;
     }
     l->cv_full.notify_all();
-    if (b.count == 0) continue;  // fully-failed chunk: skip transparently
+    if (b.count == 0) {  // fully-failed chunk: skip transparently
+      if (++consecutive_empty > chunks_per_epoch) return -2;
+      continue;
+    }
     memcpy(out, b.data.data(), b.data.size() * sizeof(float));
     memcpy(indices, b.indices.data(), b.indices.size() * sizeof(int64_t));
     return b.count;

@@ -222,7 +222,10 @@ int64_t gt_lmdb_get(void* h, const uint8_t* key, size_t klen,
   uint64_t pgno = e->root;
   for (int depth = 0; depth < 64; ++depth) {
     const PageHeader* p = page(e, pgno);
-    if (!p) return -1;
+    if (!p) {
+      set_err("page lies beyond the end of the file (truncated LMDB)");
+      return -1;
+    }
     size_t n = numkeys(p);
     if (p->flags & P_BRANCH) {
       // find the last child whose separator key <= key (node 0 has no key)
@@ -259,7 +262,21 @@ int64_t gt_lmdb_get(void* h, const uint8_t* key, size_t klen,
             uint64_t opg;
             memcpy(&opg, data, 8);
             const PageHeader* op = page(e, opg);
-            if (!op || !(op->flags & P_OVERFLOW)) return -1;
+            if (!op || !(op->flags & P_OVERFLOW)) {
+              set_err("BIGDATA node points at a missing/non-overflow page "
+                      "(truncated or corrupt LMDB)");
+              return -1;
+            }
+            // the value spans op->pages contiguous raw pages from the
+            // first page's payload: the WHOLE extent must be inside the
+            // file, or the zero-copy pointer would read past the mmap
+            if (opg * e->psize + PAGEHDRSZ + dsize > e->size ||
+                uint64_t(op->pages) * e->psize <
+                    PAGEHDRSZ + dsize) {
+              set_err("overflow value extends beyond the end of the file "
+                      "(truncated LMDB)");
+              return -1;
+            }
             *val = reinterpret_cast<const uint8_t*>(op) + PAGEHDRSZ;
           } else {
             *val = data;
@@ -270,9 +287,11 @@ int64_t gt_lmdb_get(void* h, const uint8_t* key, size_t klen,
       }
       return -1;
     } else {
+      set_err("unexpected page type during descent (corrupt LMDB)");
       return -1;
     }
   }
+  set_err("B+tree deeper than 64 levels (corrupt LMDB)");
   return -1;
 }
 

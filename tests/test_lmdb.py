@@ -9,7 +9,7 @@ import pytest
 
 from gangealing_tpu.data.lmdb_io import LMDBReader, write_lmdb, _PyReader
 from gangealing_tpu.data.dataset import (
-    MultiResolutionDataset, DataLoader, img_dataloader)
+    MultiResolutionDataset, DataLoader, Subset, img_dataloader)
 
 
 def _make_kv(n=300, rng=None):
@@ -326,3 +326,57 @@ def test_truncated_mid_meta_and_mid_tree(tmp_path, rng):
             assert all(g is not None and len(g) == 80 for g in got)
     except LMDBFormatError:
         pass
+
+
+def test_native_truncated_overflow_extent(tmp_path, rng):
+    """A data.mdb whose overflow chain is cut (partial copy) must raise
+    LMDBFormatError from the NATIVE reader's zero-copy get — never read
+    past the mmap (the Python fallback got this guard in r3; the native
+    hot path needs it too)."""
+    big = bytes(rng.randint(0, 256, 64_000, dtype=np.uint8))
+    path = str(tmp_path / "ovtrunc")
+    write_lmdb(path, {b"big": big, b"small": b"x", b"length": b"1"})
+    fpath = os.path.join(path, "data.mdb")
+    full = open(fpath, "rb").read()
+    # overflow pages are allocated AFTER the leaves, so cutting the tail
+    # keeps metas+tree valid while the big value's extent runs off the end
+    open(fpath, "wb").write(full[:len(full) - 40_000])
+
+    r = LMDBReader(path)
+    assert r._h is not None, "native reader failed to build/load"
+    assert r.get(b"small") == b"x"  # inline values still fine
+    with pytest.raises(LMDBFormatError, match="overflow|beyond|truncated"):
+        r.get(b"big")
+    rp = _PyReader(path)  # the Python fallback agrees
+    with pytest.raises(LMDBFormatError):
+        rp.get(b"big")
+
+
+def test_iterate_keys_empty_and_ordering(tmp_path):
+    from gangealing_tpu.data.lmdb_io import iterate_keys
+    empty = str(tmp_path / "empty")
+    write_lmdb(empty, {})
+    assert iterate_keys(empty) == []  # not None (builder iterates it)
+    some = str(tmp_path / "some")
+    write_lmdb(some, {b"b": b"2", b"a": b"1", b"c": b"3"})
+    assert iterate_keys(some) == [b"a", b"b", b"c"]
+
+
+def test_dataloader_tiny_dataset_equal_shards(image_lmdb):
+    """n < num_shards (DistributedSampler parity): every shard must get
+    the SAME batch count by tiling indices, or lock-step multi-host loops
+    enter collectives a different number of times and deadlock."""
+    path, imgs, res = image_lmdb
+    ds = MultiResolutionDataset(path, resolution=res, return_indices=True)
+    tiny = Subset(ds, [5])  # 1 image, 4 shards
+    lens, seen = [], []
+    for shard in range(4):
+        loader = DataLoader(tiny, batch_size=2, shuffle=False,
+                            drop_last=False, num_shards=4, shard_index=shard)
+        batches = list(loader)
+        lens.append(len(batches))
+        assert len(loader) == len(batches)
+        for _, idx in batches:
+            seen.extend(idx.tolist())
+    assert lens == [1, 1, 1, 1], lens
+    assert set(seen) == {5}

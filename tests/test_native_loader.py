@@ -66,3 +66,26 @@ def test_native_loader_epochs(tmp_path, rng):
     for o in orders:
         assert sorted(o) == list(range(8))
     assert len(set(orders)) > 1  # different epoch orders
+
+
+def test_native_loader_rejects_empty_dataset(tmp_path):
+    """length=0 datasets error at create instead of hanging the consumer
+    (workers would dispense empty chunks forever)."""
+    from gangealing_tpu.data.native_loader import NativeImageLoader
+    path = str(tmp_path / "empty")
+    write_lmdb(path, {b"length": b"0"})
+    with pytest.raises(IOError):
+        NativeImageLoader(path, resolution=32, batch=4, num_threads=2)
+
+
+def test_native_loader_errors_on_wrong_resolution(tmp_path, rng):
+    """A resolution with no keys in the LMDB must raise (like the Python
+    loader's KeyError), not block forever on all-failed decode chunks."""
+    from gangealing_tpu.data.native_loader import NativeImageLoader
+    path, _ = _make_dataset(tmp_path, rng, n=8, res=32)
+    loader = NativeImageLoader(path, resolution=64, batch=4, num_threads=2)
+    try:
+        with pytest.raises(RuntimeError, match="resolution"):
+            loader.next()
+    finally:
+        loader.close()
