@@ -85,6 +85,16 @@ def align_and_filter_dataset(params, cfg: ComposedSTNConfig, data_path, out,
     temp_folder = f"{out}_imagefolder"
     os.makedirs(temp_folder, exist_ok=True)
     os.makedirs(out, exist_ok=True)
+    # Clear stale PNGs from a previous run over the same ``out``: filename
+    # schemes differ across runs (per-process prefixes, different accept
+    # counts), so leftovers are not reliably overwritten — the '*.png' glob
+    # in create_dataset below would silently bake them into the new LMDB
+    # while dataset_indices.pt lists only this run's indices.
+    if jax.process_index() == 0:
+        import glob
+        for f in glob.glob(os.path.join(temp_folder, "*.png")):
+            os.remove(f)
+    host_barrier("congeal_dataset_clean")
 
     class RawDataset(MultiResolutionDataset):
         def __getitem__(self, index):

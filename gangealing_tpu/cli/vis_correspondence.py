@@ -48,19 +48,32 @@ def main():
     args = parser.parse_args()
 
     import jax
-    if jax.process_count() > 1 and args.mode != "average" \
-            and jax.process_index() != 0:
+    from gangealing_tpu.parallel import host_barrier
+    primary_only = jax.process_count() > 1 and args.mode != "average"
+    if primary_only and jax.process_index() != 0:
         # The smooth-video modes are single-controller by design (the
         # reference runs them "fast on a single GPU",
         # vis_correspondence.py:489): secondary processes idle instead of
         # duplicating the render and racing on the output files. The
         # "average" mode IS distributed (cross-host partial-sum reduction
         # in apps/vis_correspondence.py average_image_video), so every
-        # process participates there.
+        # process participates there. Idle AT A BARRIER rather than
+        # returning: an exiting process would hit jax.distributed's
+        # shutdown barrier, whose timeout is shorter than a long render —
+        # the coordination service would then mark the job failed and kill
+        # the still-rendering primary.
         print(f"vis_correspondence --mode {args.mode} renders on the "
               f"primary process only; process {jax.process_index()} idles")
+        host_barrier("vis_correspondence render")
         return
+    try:
+        _render(args)
+    finally:
+        if primary_only:
+            host_barrier("vis_correspondence render")
 
+
+def _render(args):
     from gangealing_tpu.apps.common import load_stn
     from gangealing_tpu.apps import vis_correspondence as vc
     from gangealing_tpu.apps.flow_scores import filter_dataset

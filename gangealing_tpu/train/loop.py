@@ -169,17 +169,31 @@ def train_gangealing(cfg: TrainConfig, g_params, t_params, ll_params,
 
     def maybe_vis(i, psi):
         t_ema = jax.tree.map(np.asarray, state["t_ema"])
+        # Vis runs on the PRIMARY process only (like the reference,
+        # train.py:138). Under a multi-process runtime the training arrays
+        # are replicated over the process-spanning mesh, and a computation
+        # the primary dispatches alone on such arrays never completes (the
+        # other processes are in the train loop, not this program). Pull
+        # the replicas to host so the vis pipeline re-commits them to local
+        # devices — np.asarray is a pure local-replica read, not a
+        # collective, so it is safe from one process.
+        g_p, ll_p, p_p = g_params, state["ll"], perceptual_params
+        if jax.process_count() > 1:
+            g_p = jax.tree.map(np.asarray, g_p)
+            ll_p = jax.tree.map(np.asarray, ll_p)
+            if p_p is not None:
+                p_p = jax.tree.map(np.asarray, p_p)
         kk = jax.random.fold_in(vis_key, i)
         if cfg.clustering:
-            pfn = lambda x, y: perceptual_fn(perceptual_params, x, y)
+            pfn = lambda x, y: perceptual_fn(p_p, x, y)
             create_training_cluster_visuals(
-                g_params, cfg.g, t_ema, cfg.t, state["ll"], cfg.ll, pfn,
+                g_p, cfg.g, t_ema, cfg.t, ll_p, cfg.ll, pfn,
                 real_loader, sample_z, big_sample_z, psi, n_mean, n_sample,
                 cfg.t.num_heads, cfg.flips, vis_batch_size, i, writer, kk,
                 padding_mode=cfg.padding_mode)
         else:
             create_training_visuals(
-                g_params, cfg.g, t_ema, cfg.t, state["ll"], cfg.ll,
+                g_p, cfg.g, t_ema, cfg.t, ll_p, cfg.ll,
                 real_loader, sample_reals, sample_z, psi, n_mean, n_sample,
                 i, writer, kk, padding_mode=cfg.padding_mode)
 
